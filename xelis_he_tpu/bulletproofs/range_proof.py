@@ -1,0 +1,363 @@
+"""Aggregated 64-bit range proofs with cross-proof batch verification.
+
+Bit-exact re-derivation of the dalek bulletproofs protocol as used by the
+xelis fork (SURVEY.md D6/D7; call sites /root/reference/src/tx/builder.rs:
+525-533 and tx/verify.rs:504-539):
+
+- ``prove_multiple``: aggregated proof over m values (m a power of two),
+  single-party equivalent of the dealer/party MPC with byte-identical
+  transcript choreography (labels V/A/S/y/z/T_1/T_2/x/t_x/t_x_blinding/
+  e_blinding/w, then the inner-product argument).
+- ``verify_multiple``: ONE multiscalar multiplication.
+- ``verification_view`` + ``verify_batch``: the xelis fork's addition —
+  folds N independent aggregated proofs into ONE random-linear-combination
+  mega-MSM with shared generator slots.  This is the verification hot path
+  that the TPU engine executes as a single fused MSM per block.
+
+All group arithmetic flows through a pluggable ``msm`` callable.
+"""
+
+from __future__ import annotations
+
+from .. import scalars
+from ..errors import ProofVerificationError
+from ..pyref.ristretto import RistrettoPoint, multiscalar_mul
+from ..transcript import ProtocolTranscript
+from .generators import BulletproofGens, PedersenGens
+from .inner_product import InnerProductProof
+from .util import delta, exp_iter, inner_product
+
+L = scalars.L
+
+
+class RangeProof:
+    __slots__ = ("A", "S", "T_1", "T_2", "t_x", "t_x_blinding", "e_blinding", "ipp_proof")
+
+    def __init__(self, A, S, T_1, T_2, t_x, t_x_blinding, e_blinding, ipp_proof):
+        self.A, self.S, self.T_1, self.T_2 = A, S, T_1, T_2
+        self.t_x = t_x % L
+        self.t_x_blinding = t_x_blinding % L
+        self.e_blinding = e_blinding % L
+        self.ipp_proof = ipp_proof
+
+    # ------------------------------------------------------------------
+    # Prover
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def prove_multiple(
+        bp_gens: BulletproofGens,
+        pc_gens: PedersenGens,
+        transcript: ProtocolTranscript,
+        values: list[int],
+        blindings: list[int],
+        n: int,
+        msm=multiscalar_mul,
+    ) -> tuple["RangeProof", list[bytes]]:
+        m = len(values)
+        if n not in (8, 16, 32, 64):
+            raise ProofVerificationError("format", "invalid bitsize")
+        if m == 0 or (m & (m - 1)) != 0 or len(blindings) != m:
+            raise ProofVerificationError("format", "invalid aggregation size")
+        if m > bp_gens.party_capacity:
+            raise ProofVerificationError("format", "exceeds generator capacity")
+        for v in values:
+            if not (0 <= v < (1 << n)):
+                raise ProofVerificationError("format", "value out of range")
+
+        nm = n * m
+        B, B_blinding = pc_gens.B, pc_gens.B_blinding
+        G_all = bp_gens.G(n, m)
+        H_all = bp_gens.H(n, m)
+
+        transcript.rangeproof_domain_separator(n, m)
+
+        # Per-party value commitments V_j = v*B + blinding*B_blinding
+        V_compressed: list[bytes] = []
+        for v, b in zip(values, blindings):
+            V_j = msm([v % L, b % L], [B, B_blinding]).compress()
+            transcript.append_point(b"V", V_j)
+            V_compressed.append(V_j)
+
+        # Bit commitments: A = <a_L,G> + <a_R,H> + a_blinding*B_blinding
+        a_L = [(values[i // n] >> (i % n)) & 1 for i in range(nm)]
+        a_blinding = scalars.random_scalar()
+        A_sc = [a_blinding]
+        A_pt = [B_blinding]
+        for i in range(nm):
+            if a_L[i]:
+                A_sc.append(1)
+                A_pt.append(G_all[i])
+            else:
+                A_sc.append(L - 1)  # a_R[i] = -1
+                A_pt.append(H_all[i])
+        A = msm(A_sc, A_pt).compress()
+
+        s_blinding = scalars.random_scalar()
+        s_L = [scalars.random_scalar() for _ in range(nm)]
+        s_R = [scalars.random_scalar() for _ in range(nm)]
+        S = msm([s_blinding] + s_L + s_R, [B_blinding] + G_all + H_all).compress()
+
+        transcript.append_point(b"A", A)
+        transcript.append_point(b"S", S)
+
+        y = transcript.challenge_scalar(b"y")
+        z = transcript.challenge_scalar(b"z")
+        zz = z * z % L
+
+        # l(X) and r(X) polynomial vectors
+        y_pow = exp_iter(y, nm)
+        z_pow = exp_iter(z, m)
+        l0 = [(a_L[i] - z) % L for i in range(nm)]
+        l1 = s_L
+        r0 = [
+            (y_pow[i] * ((a_L[i] - 1 + z) % L) + zz * z_pow[i // n] % L * (1 << (i % n))) % L
+            for i in range(nm)
+        ]
+        r1 = [y_pow[i] * s_R[i] % L for i in range(nm)]
+
+        t0 = inner_product(l0, r0)
+        t1 = (inner_product(l0, r1) + inner_product(l1, r0)) % L
+        t2 = inner_product(l1, r1)
+
+        t_1_blinding = scalars.random_scalar()
+        t_2_blinding = scalars.random_scalar()
+        T_1 = msm([t1, t_1_blinding], [B, B_blinding]).compress()
+        T_2 = msm([t2, t_2_blinding], [B, B_blinding]).compress()
+
+        transcript.append_point(b"T_1", T_1)
+        transcript.append_point(b"T_2", T_2)
+
+        x = transcript.challenge_scalar(b"x")
+
+        t_x = (t0 + t1 * x + t2 * x * x) % L
+        t_0_blinding = sum(zz * z_pow[j] % L * (blindings[j] % L) for j in range(m)) % L
+        t_x_blinding = (t_0_blinding + x * t_1_blinding + x * x * t_2_blinding) % L
+        e_blinding = (a_blinding + x * s_blinding) % L
+
+        transcript.append_scalar(b"t_x", t_x)
+        transcript.append_scalar(b"t_x_blinding", t_x_blinding)
+        transcript.append_scalar(b"e_blinding", e_blinding)
+
+        w = transcript.challenge_scalar(b"w")
+        Q = w * B
+
+        l_vec = [(l0[i] + x * l1[i]) % L for i in range(nm)]
+        r_vec = [(r0[i] + x * r1[i]) % L for i in range(nm)]
+
+        y_inv = scalars.invert(y)
+        H_factors = exp_iter(y_inv, nm)
+        G_factors = [1] * nm
+
+        ipp = InnerProductProof.create(
+            transcript, Q, G_factors, H_factors, G_all, H_all, l_vec, r_vec, msm=msm
+        )
+
+        proof = RangeProof(A, S, T_1, T_2, t_x, t_x_blinding, e_blinding, ipp)
+        return proof, V_compressed
+
+    # ------------------------------------------------------------------
+    # Verifier
+    # ------------------------------------------------------------------
+
+    def _verification_scalars(
+        self,
+        transcript: ProtocolTranscript,
+        value_commitments: list[bytes],
+        n: int,
+        bp_gens: BulletproofGens,
+    ):
+        """Replay the transcript and compute all MSM scalars for this proof.
+
+        Returns (dynamic_scalars, dynamic_compressed_points, g_coeffs,
+        h_coeffs, b_scalar, b_blinding_scalar) where dynamic pairs cover
+        A, S, T_1, T_2, L_j, R_j, V_j and g/h cover the shared generators.
+        """
+        m = len(value_commitments)
+        if m == 0 or (m & (m - 1)) != 0:
+            raise ProofVerificationError("range_proof", "invalid aggregation size")
+        if n not in (8, 16, 32, 64):
+            raise ProofVerificationError("range_proof", "invalid bitsize")
+        if m > bp_gens.party_capacity:
+            raise ProofVerificationError("range_proof", "exceeds generator capacity")
+        nm = n * m
+
+        transcript.rangeproof_domain_separator(n, m)
+        for V in value_commitments:
+            # identity (dud) commitments are allowed here
+            transcript.append_point(b"V", V)
+
+        transcript.validate_and_append_point(b"A", self.A)
+        transcript.validate_and_append_point(b"S", self.S)
+        y = transcript.challenge_scalar(b"y")
+        z = transcript.challenge_scalar(b"z")
+        transcript.validate_and_append_point(b"T_1", self.T_1)
+        transcript.validate_and_append_point(b"T_2", self.T_2)
+        x = transcript.challenge_scalar(b"x")
+        transcript.append_scalar(b"t_x", self.t_x)
+        transcript.append_scalar(b"t_x_blinding", self.t_x_blinding)
+        transcript.append_scalar(b"e_blinding", self.e_blinding)
+        w = transcript.challenge_scalar(b"w")
+
+        # random folding scalar (dalek uses a random c per proof)
+        c = scalars.random_scalar()
+
+        u_sq, u_inv_sq, s = self.ipp_proof.verification_scalars(nm, transcript)
+        s_inv = s[::-1]
+        a, b = self.ipp_proof.a, self.ipp_proof.b
+
+        y_inv = scalars.invert(y)
+        y_inv_pow = exp_iter(y_inv, nm)
+        z_pow = exp_iter(z, m)
+        zz = z * z % L
+        minus_z = (-z) % L
+
+        # concat_z_and_2[i] = z^(i//n) * 2^(i%n)
+        g = [(minus_z - a * s[i]) % L for i in range(nm)]
+        h = [
+            (z + y_inv_pow[i] * ((zz * z_pow[i // n] % L * ((1 << (i % n)) % L) - b * s_inv[i]) % L)) % L
+            for i in range(nm)
+        ]
+
+        value_scalars = [c * zz % L * z_pow[j] % L for j in range(m)]
+        basepoint_scalar = (w * (self.t_x - a * b) + c * (delta(n, m, y, z) - self.t_x)) % L
+        b_blinding_scalar = (-self.e_blinding - c * self.t_x_blinding) % L
+
+        dynamic_scalars = (
+            [1, x, c * x % L, c * x % L * x % L] + u_sq + u_inv_sq + value_scalars
+        )
+        dynamic_points = (
+            [self.A, self.S, self.T_1, self.T_2]
+            + list(self.ipp_proof.L_vec)
+            + list(self.ipp_proof.R_vec)
+            + list(value_commitments)
+        )
+        return dynamic_scalars, dynamic_points, g, h, basepoint_scalar, b_blinding_scalar
+
+    def verify_multiple(
+        self,
+        bp_gens: BulletproofGens,
+        pc_gens: PedersenGens,
+        transcript: ProtocolTranscript,
+        value_commitments: list[bytes],
+        n: int,
+        msm=multiscalar_mul,
+    ) -> None:
+        """Single-proof verification: one MSM must equal the identity."""
+        m = len(value_commitments)
+        dyn_sc, dyn_pts_b, g, h, b_sc, bb_sc = self._verification_scalars(
+            transcript, value_commitments, n, bp_gens
+        )
+        points = []
+        for pb in dyn_pts_b:
+            pt = RistrettoPoint.decompress(pb)
+            if pt is None:
+                raise ProofVerificationError("range_proof", "point decompression")
+            points.append(pt)
+        scalars_all = dyn_sc + [b_sc, bb_sc] + g + h
+        points_all = points + [pc_gens.B, pc_gens.B_blinding] + bp_gens.G(n, m) + bp_gens.H(n, m)
+        if not msm(scalars_all, points_all).is_identity():
+            raise ProofVerificationError("range_proof", "verification equation")
+
+    def verification_view(
+        self, transcript: ProtocolTranscript, value_commitments: list[bytes], n: int
+    ) -> "RangeProofVerificationView":
+        """Capture this proof's contribution for cross-proof batching
+        (xelis fork verification_view, tx/verify.rs:504-514)."""
+        return RangeProofVerificationView(self, transcript, value_commitments, n)
+
+    @staticmethod
+    def verify_batch(
+        views: "list[RangeProofVerificationView]",
+        bp_gens: BulletproofGens,
+        pc_gens: PedersenGens,
+        msm=multiscalar_mul,
+    ) -> None:
+        """Fold N aggregated proofs into ONE random-linear-combination MSM."""
+        views = list(views)
+        if not views:
+            return
+        max_nm = 0
+        dyn_scalars: list[int] = []
+        dyn_points: list[RistrettoPoint] = []
+        g_acc: list[int] = []
+        h_acc: list[int] = []
+        b_acc = 0
+        bb_acc = 0
+        for view in views:
+            nm = view.n * len(view.value_commitments)
+            if nm > max_nm:
+                g_acc.extend([0] * (nm - max_nm))
+                h_acc.extend([0] * (nm - max_nm))
+                max_nm = nm
+            rho = scalars.random_scalar()
+            dyn_sc, dyn_pts_b, g, h, b_sc, bb_sc = view.proof._verification_scalars(
+                view.transcript, view.value_commitments, view.n, bp_gens
+            )
+            for sc, pb in zip(dyn_sc, dyn_pts_b):
+                pt = RistrettoPoint.decompress(pb)
+                if pt is None:
+                    raise ProofVerificationError("range_proof", "point decompression")
+                dyn_scalars.append(sc * rho % L)
+                dyn_points.append(pt)
+            for i in range(nm):
+                g_acc[i] = (g_acc[i] + g[i] * rho) % L
+                h_acc[i] = (h_acc[i] + h[i] * rho) % L
+            b_acc = (b_acc + b_sc * rho) % L
+            bb_acc = (bb_acc + bb_sc * rho) % L
+
+        m_max = max_nm // views[0].n if views else 0
+        n = views[0].n
+        scalars_all = dyn_scalars + [b_acc, bb_acc] + g_acc + h_acc
+        points_all = (
+            dyn_points
+            + [pc_gens.B, pc_gens.B_blinding]
+            + bp_gens.G(n, max_nm // n)
+            + bp_gens.H(n, max_nm // n)
+        )
+        if not msm(scalars_all, points_all).is_identity():
+            raise ProofVerificationError("range_proof", "batch verification equation")
+
+    # ------------------------------------------------------------------
+    # Serialization (dalek RangeProof::to_bytes layout)
+    # ------------------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        return (
+            self.A + self.S + self.T_1 + self.T_2
+            + scalars.to_bytes(self.t_x)
+            + scalars.to_bytes(self.t_x_blinding)
+            + scalars.to_bytes(self.e_blinding)
+            + self.ipp_proof.to_bytes()
+        )
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "RangeProof":
+        if len(data) < 7 * 32 + 64 or (len(data) - 7 * 32 - 64) % 64 != 0:
+            raise ProofVerificationError("format", "range proof length")
+        t_x = scalars.from_canonical_bytes(data[128:160])
+        t_x_blinding = scalars.from_canonical_bytes(data[160:192])
+        e_blinding = scalars.from_canonical_bytes(data[192:224])
+        if t_x is None or t_x_blinding is None or e_blinding is None:
+            raise ProofVerificationError("format", "non-canonical scalar")
+        return RangeProof(
+            data[0:32], data[32:64], data[64:96], data[96:128],
+            t_x, t_x_blinding, e_blinding,
+            InnerProductProof.from_bytes(data[224:]),
+        )
+
+    def __eq__(self, other):
+        return isinstance(other, RangeProof) and self.to_bytes() == other.to_bytes()
+
+
+class RangeProofVerificationView:
+    """A proof plus its transcript (already advanced past the tx's sigma
+    appends) and commitment list, ready for verify_batch."""
+
+    __slots__ = ("proof", "transcript", "value_commitments", "n")
+
+    def __init__(self, proof, transcript, value_commitments, n):
+        self.proof = proof
+        self.transcript = transcript
+        self.value_commitments = value_commitments
+        self.n = n

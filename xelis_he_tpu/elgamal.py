@@ -1,0 +1,280 @@
+"""Twisted ElGamal encryption, Pedersen commitments, and Schnorr signatures.
+
+Mirrors /root/reference/src/elgamal.rs semantics exactly:
+
+- second generator ``H = from_uniform_bytes(SHA3-512(compress(G)))``
+  (elgamal.rs:16-24)
+- public key P = s^-1 * H (elgamal.rs:102-107)
+- ciphertext of amount x with opening r: commitment C = x*G + r*H,
+  decrypt handle D = r*P (elgamal.rs:109-129, 266-271, 228-230)
+- decrypt: x*G = C - s*D (elgamal.rs:140-145)
+- signature: k random, r = k*H, e = SHA3-512(pk || msg || compress(r)) mod L,
+  s_sig = sk^-1 * e + k; verify r' = s_sig*H - e*P (elgamal.rs:26-65,194-200)
+
+Homomorphic Add/Sub on handles/commitments/ciphertexts and ciphertext±scalar
+(plaintext, non-hiding; elgamal.rs:353-377) are Python operators here.
+
+Secrets (scalars, openings, nonces) live host-side only and come from the OS
+CSPRNG; the accelerator only ever sees public data (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from . import scalars
+from .pyref.ristretto import (
+    BASEPOINT as G,
+    IDENTITY,
+    RISTRETTO_BASEPOINT_BYTES,
+    RistrettoPoint,
+    mul_base,
+    multiscalar_mul,
+)
+from .types import CompressedCiphertext, CompressedCommitment, CompressedHandle, CompressedPubkey
+
+# Second generator for Pedersen openings (elgamal.rs:16-24).  Equals dalek's
+# bulletproofs B_blinding: 8c9240b456a9e6dc65c377a1048d745f94a08cdb7f44cbcd7b46f34048871134
+H: RistrettoPoint = RistrettoPoint.from_uniform_bytes(
+    hashlib.sha3_512(RISTRETTO_BASEPOINT_BYTES).digest()
+)
+
+
+def hash_and_point_to_scalar(key: CompressedPubkey, message: bytes, point: RistrettoPoint) -> int:
+    """e = SHA3-512(pk || msg || compress(point)) reduced wide (elgamal.rs:53-65)."""
+    h = hashlib.sha3_512()
+    h.update(key.data)
+    h.update(message)
+    h.update(point.compress())
+    return scalars.from_bytes_mod_order_wide(h.digest())
+
+
+class Signature:
+    __slots__ = ("s", "e")
+
+    def __init__(self, s: int, e: int):
+        self.s = s % scalars.L
+        self.e = e % scalars.L
+
+    def verify(self, message: bytes, key: "ElGamalPubkey") -> bool:
+        r = multiscalar_mul([self.s, (-self.e) % scalars.L], [H, key.point])
+        return self.e == hash_and_point_to_scalar(key.compress(), message, r)
+
+    def to_bytes(self) -> bytes:
+        return scalars.to_bytes(self.s) + scalars.to_bytes(self.e)
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "Signature":
+        assert len(data) == 64
+        return Signature(
+            int.from_bytes(data[:32], "little"), int.from_bytes(data[32:], "little")
+        )
+
+    def __eq__(self, other):
+        return isinstance(other, Signature) and self.s == other.s and self.e == other.e
+
+
+class PedersenOpening:
+    __slots__ = ("scalar",)
+
+    def __init__(self, scalar: int):
+        self.scalar = scalar % scalars.L
+
+    @staticmethod
+    def generate_new() -> "PedersenOpening":
+        return PedersenOpening(scalars.random_scalar())
+
+
+class PedersenCommitment:
+    __slots__ = ("point",)
+
+    def __init__(self, point: RistrettoPoint):
+        self.point = point
+
+    @staticmethod
+    def new(amount: int) -> tuple["PedersenCommitment", PedersenOpening]:
+        opening = PedersenOpening.generate_new()
+        return PedersenCommitment.new_with_opening(amount, opening), opening
+
+    @staticmethod
+    def new_with_opening(amount: int, opening: PedersenOpening) -> "PedersenCommitment":
+        return PedersenCommitment(
+            multiscalar_mul([amount % scalars.L, opening.scalar], [G, H])
+        )
+
+    def compress(self) -> CompressedCommitment:
+        return CompressedCommitment(self.point.compress())
+
+    def __add__(self, other: "PedersenCommitment") -> "PedersenCommitment":
+        return PedersenCommitment(self.point + other.point)
+
+    def __sub__(self, other: "PedersenCommitment") -> "PedersenCommitment":
+        return PedersenCommitment(self.point - other.point)
+
+    def __eq__(self, other):
+        return isinstance(other, PedersenCommitment) and self.point == other.point
+
+
+class DecryptHandle:
+    __slots__ = ("point",)
+
+    def __init__(self, point: RistrettoPoint):
+        self.point = point
+
+    @staticmethod
+    def new(public: "ElGamalPubkey", opening: PedersenOpening) -> "DecryptHandle":
+        return DecryptHandle(opening.scalar * public.point)
+
+    def compress(self) -> CompressedHandle:
+        return CompressedHandle(self.point.compress())
+
+    def __add__(self, other: "DecryptHandle") -> "DecryptHandle":
+        return DecryptHandle(self.point + other.point)
+
+    def __sub__(self, other: "DecryptHandle") -> "DecryptHandle":
+        return DecryptHandle(self.point - other.point)
+
+    def __eq__(self, other):
+        return isinstance(other, DecryptHandle) and self.point == other.point
+
+
+class ElGamalCiphertext:
+    __slots__ = ("commitment", "handle")
+
+    def __init__(self, commitment: PedersenCommitment, handle: DecryptHandle):
+        self.commitment = commitment
+        self.handle = handle
+
+    @staticmethod
+    def zero() -> "ElGamalCiphertext":
+        """Universal zero ciphertext, decryptable by any key (elgamal.rs:176-183)."""
+        return ElGamalCiphertext(PedersenCommitment(IDENTITY), DecryptHandle(IDENTITY))
+
+    def compress(self) -> CompressedCiphertext:
+        return CompressedCiphertext(self.commitment.compress(), self.handle.compress())
+
+    def __add__(self, other):
+        if isinstance(other, ElGamalCiphertext):
+            return ElGamalCiphertext(
+                self.commitment + other.commitment, self.handle + other.handle
+            )
+        if isinstance(other, int):
+            # plaintext add: C + x*G, handle unchanged (elgamal.rs:356-364)
+            return ElGamalCiphertext(
+                PedersenCommitment(self.commitment.point + mul_base(other)), self.handle
+            )
+        return NotImplemented
+
+    def __sub__(self, other):
+        if isinstance(other, ElGamalCiphertext):
+            return ElGamalCiphertext(
+                self.commitment - other.commitment, self.handle - other.handle
+            )
+        if isinstance(other, int):
+            return ElGamalCiphertext(
+                PedersenCommitment(self.commitment.point - mul_base(other)), self.handle
+            )
+        return NotImplemented
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, ElGamalCiphertext)
+            and self.commitment == other.commitment
+            and self.handle == other.handle
+        )
+
+
+class ECDLPInstance:
+    """Decrypted point wrapper; decode small integers via the ECDLP tables
+    (elgamal.rs:67-92).  See :mod:`xelis_he_tpu.ecdlp`."""
+
+    __slots__ = ("point",)
+
+    def __init__(self, point: RistrettoPoint):
+        self.point = point
+
+    def as_point(self) -> RistrettoPoint:
+        return self.point
+
+    def decode(self, tables, args=None):
+        from .ecdlp import decode
+
+        return decode(tables, self.point, args)
+
+    def par_decode(self, tables, args=None):
+        from .ecdlp import par_decode
+
+        return par_decode(tables, self.point, args)
+
+
+class ElGamalPubkey:
+    __slots__ = ("point",)
+
+    def __init__(self, point: RistrettoPoint):
+        self.point = point
+
+    @staticmethod
+    def from_secret(secret: "ElGamalSecretKey") -> "ElGamalPubkey":
+        assert secret.scalar % scalars.L != 0
+        return ElGamalPubkey(scalars.invert(secret.scalar) * H)
+
+    def encrypt(self, amount: int) -> ElGamalCiphertext:
+        commitment, opening = PedersenCommitment.new(amount)
+        return ElGamalCiphertext(commitment, self.decrypt_handle(opening))
+
+    def encrypt_with_opening(self, amount: int, opening: PedersenOpening) -> ElGamalCiphertext:
+        return ElGamalCiphertext(
+            PedersenCommitment.new_with_opening(amount, opening), self.decrypt_handle(opening)
+        )
+
+    def decrypt_handle(self, opening: PedersenOpening) -> DecryptHandle:
+        return DecryptHandle.new(self, opening)
+
+    def compress(self) -> CompressedPubkey:
+        return CompressedPubkey(self.point.compress())
+
+    def __eq__(self, other):
+        return isinstance(other, ElGamalPubkey) and self.point == other.point
+
+
+class ElGamalSecretKey:
+    __slots__ = ("scalar",)
+
+    def __init__(self, scalar: int):
+        self.scalar = scalar % scalars.L
+
+    def decrypt(self, ciphertext: ElGamalCiphertext) -> ECDLPInstance:
+        # m*G = C - s*D (elgamal.rs:140-145)
+        return ECDLPInstance(
+            ciphertext.commitment.point - self.scalar * ciphertext.handle.point
+        )
+
+
+class ElGamalKeypair:
+    __slots__ = ("pk", "sk")
+
+    def __init__(self, pk: ElGamalPubkey, sk: ElGamalSecretKey):
+        self.pk = pk
+        self.sk = sk
+
+    @staticmethod
+    def keygen() -> "ElGamalKeypair":
+        return ElGamalKeypair.keygen_with_secret(scalars.random_scalar())
+
+    @staticmethod
+    def keygen_with_secret(s: int) -> "ElGamalKeypair":
+        sk = ElGamalSecretKey(s)
+        return ElGamalKeypair(ElGamalPubkey.from_secret(sk), sk)
+
+    def pubkey(self) -> ElGamalPubkey:
+        return self.pk
+
+    def secret(self) -> ElGamalSecretKey:
+        return self.sk
+
+    def sign(self, message: bytes) -> Signature:
+        k = scalars.random_scalar()
+        r = k * H
+        e = hash_and_point_to_scalar(self.pk.compress(), message, r)
+        s = (scalars.invert(self.sk.scalar) * e + k) % scalars.L
+        return Signature(s, e)

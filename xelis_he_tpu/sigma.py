@@ -1,0 +1,309 @@
+"""Sigma proofs (CommitmentEqProof, CiphertextValidityProof) + BatchCollector.
+
+Bit-exact mirror of /root/reference/src/proofs.rs: transcript choreography,
+challenge weights (1, w, w^2), per-proof random batch factors, and the shared
+G/H scalar slots.  The BatchCollector accumulates every sigma proof of a batch
+of transactions into ONE multiscalar multiplication (proofs.rs:40-68) — on
+TPU this is executed as a single fused MSM kernel (ops.msm); the host
+fallback uses pyref Pippenger.
+"""
+
+from __future__ import annotations
+
+from . import scalars
+from .elgamal import (
+    DecryptHandle,
+    ElGamalCiphertext,
+    ElGamalKeypair,
+    ElGamalPubkey,
+    H,
+    PedersenCommitment,
+    PedersenOpening,
+)
+from .errors import ProofVerificationError
+from .pyref.ristretto import BASEPOINT as G, RistrettoPoint, multiscalar_mul
+from .transcript import ProtocolTranscript
+
+
+class BatchCollector:
+    """Deferred-MSM accumulator for sigma proof verification (proofs.rs:40-68).
+
+    ``verify()`` computes  sum(dynamic) + g_scalar*G + h_scalar*H  and accepts
+    iff it is the identity.  ``msm_fn`` may be swapped for the TPU engine's
+    fused MSM (signature: (scalars, points) -> RistrettoPoint).
+    """
+
+    def __init__(self, msm_fn=None):
+        self.dynamic_scalars: list[int] = []
+        self.dynamic_points: list[RistrettoPoint] = []
+        self.g_scalar = 0
+        self.h_scalar = 0
+        self._msm = msm_fn or multiscalar_mul
+
+    def extend(self, scalar_point_pairs) -> None:
+        for s, p in scalar_point_pairs:
+            self.dynamic_scalars.append(s % scalars.L)
+            self.dynamic_points.append(p)
+
+    def verify(self) -> bool:
+        mega = self._msm(
+            self.dynamic_scalars + [self.g_scalar % scalars.L, self.h_scalar % scalars.L],
+            self.dynamic_points + [G, H],
+        )
+        return mega.is_identity()
+
+
+def _decompress_or_fail(b: bytes, kind: str) -> RistrettoPoint:
+    pt = RistrettoPoint.decompress(b)
+    if pt is None:
+        raise ProofVerificationError(kind)
+    return pt
+
+
+class CommitmentEqProof:
+    """Proves that a ciphertext (under the prover's key) and a Pedersen
+    commitment commit to the same value (proofs.rs:24-223; algebra in
+    SURVEY.md §2.3)."""
+
+    __slots__ = ("Y_0", "Y_1", "Y_2", "z_s", "z_x", "z_r")
+
+    def __init__(self, Y_0: bytes, Y_1: bytes, Y_2: bytes, z_s: int, z_x: int, z_r: int):
+        self.Y_0, self.Y_1, self.Y_2 = Y_0, Y_1, Y_2
+        self.z_s, self.z_x, self.z_r = z_s % scalars.L, z_x % scalars.L, z_r % scalars.L
+
+    @staticmethod
+    def new(
+        source_keypair: ElGamalKeypair,
+        source_ciphertext: ElGamalCiphertext,
+        opening: PedersenOpening,
+        amount: int,
+        transcript: ProtocolTranscript,
+    ) -> "CommitmentEqProof":
+        transcript.equality_proof_domain_separator()
+
+        P_source = source_keypair.pubkey().point
+        D_source = source_ciphertext.handle.point
+
+        s = source_keypair.secret().scalar
+        x = amount % scalars.L
+        r = opening.scalar
+
+        y_s = scalars.random_scalar()
+        y_x = scalars.random_scalar()
+        y_r = scalars.random_scalar()
+
+        Y_0 = (y_s * P_source).compress()
+        Y_1 = multiscalar_mul([y_x, y_s], [G, D_source]).compress()
+        Y_2 = multiscalar_mul([y_x, y_r], [G, H]).compress()
+
+        transcript.append_point(b"Y_0", Y_0)
+        transcript.append_point(b"Y_1", Y_1)
+        transcript.append_point(b"Y_2", Y_2)
+
+        c = transcript.challenge_scalar(b"c")
+
+        z_s = (c * s + y_s) % scalars.L
+        z_x = (c * x + y_x) % scalars.L
+        z_r = (c * r + y_r) % scalars.L
+
+        transcript.append_scalar(b"z_s", z_s)
+        transcript.append_scalar(b"z_x", z_x)
+        transcript.append_scalar(b"z_r", z_r)
+
+        # squeeze (and discard) w to keep transcript state aligned with the
+        # verifier (proofs.rs:117)
+        transcript.challenge_scalar(b"w")
+
+        return CommitmentEqProof(Y_0, Y_1, Y_2, z_s, z_x, z_r)
+
+    def pre_verify(
+        self,
+        source_pubkey: ElGamalPubkey,
+        source_ciphertext: ElGamalCiphertext,
+        destination_commitment: PedersenCommitment,
+        transcript: ProtocolTranscript,
+        batch_collector: BatchCollector,
+    ) -> None:
+        transcript.equality_proof_domain_separator()
+
+        P_source = source_pubkey.point
+        C_source = source_ciphertext.commitment.point
+        D_source = source_ciphertext.handle.point
+        C_destination = destination_commitment.point
+
+        transcript.validate_and_append_point(b"Y_0", self.Y_0)
+        transcript.validate_and_append_point(b"Y_1", self.Y_1)
+        transcript.validate_and_append_point(b"Y_2", self.Y_2)
+
+        c = transcript.challenge_scalar(b"c")
+
+        transcript.append_scalar(b"z_s", self.z_s)
+        transcript.append_scalar(b"z_x", self.z_x)
+        transcript.append_scalar(b"z_r", self.z_r)
+
+        w = transcript.challenge_scalar(b"w")
+        ww = w * w % scalars.L
+
+        Y_0 = _decompress_or_fail(self.Y_0, "commitment_eq_proof")
+        Y_1 = _decompress_or_fail(self.Y_1, "commitment_eq_proof")
+        Y_2 = _decompress_or_fail(self.Y_2, "commitment_eq_proof")
+
+        batch_factor = scalars.random_scalar()
+
+        # w*z_x*G + ww*z_x*G
+        batch_collector.g_scalar += (w * self.z_x + ww * self.z_x) * batch_factor
+        # -c*H + ww*z_r*H
+        batch_collector.h_scalar += (-c + ww * self.z_r) * batch_factor
+
+        batch_collector.extend(
+            zip(
+                [
+                    self.z_s * batch_factor,
+                    -batch_factor,
+                    w * self.z_s * batch_factor,
+                    -w * c * batch_factor,
+                    -w * batch_factor,
+                    -ww * c * batch_factor,
+                    -ww * batch_factor,
+                ],
+                [P_source, Y_0, D_source, C_source, Y_1, C_destination, Y_2],
+            )
+        )
+
+    def to_bytes(self) -> bytes:
+        return (
+            self.Y_0 + self.Y_1 + self.Y_2
+            + scalars.to_bytes(self.z_s) + scalars.to_bytes(self.z_x) + scalars.to_bytes(self.z_r)
+        )
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "CommitmentEqProof":
+        assert len(data) == 192
+        zs = [scalars.from_canonical_bytes(data[i:i + 32]) for i in (96, 128, 160)]
+        if any(z is None for z in zs):
+            raise ProofVerificationError("format", "non-canonical scalar")
+        return CommitmentEqProof(data[0:32], data[32:64], data[64:96], *zs)
+
+
+class CiphertextValidityProof:
+    """Proves a transfer ciphertext is well-formed for both sender and
+    receiver keys (proofs.rs:225-372)."""
+
+    __slots__ = ("Y_0", "Y_1", "Y_2", "z_r", "z_x")
+
+    def __init__(self, Y_0: bytes, Y_1: bytes, Y_2: bytes, z_r: int, z_x: int):
+        self.Y_0, self.Y_1, self.Y_2 = Y_0, Y_1, Y_2
+        self.z_r, self.z_x = z_r % scalars.L, z_x % scalars.L
+
+    @staticmethod
+    def new(
+        destination_pubkey: ElGamalPubkey,
+        source_pubkey: ElGamalPubkey,
+        amount: int,
+        opening: PedersenOpening,
+        transcript: ProtocolTranscript,
+    ) -> "CiphertextValidityProof":
+        transcript.ciphertext_validity_proof_domain_separator()
+
+        P_dest = destination_pubkey.point
+        P_source = source_pubkey.point
+
+        x = amount % scalars.L
+        r = opening.scalar
+
+        y_r = scalars.random_scalar()
+        y_x = scalars.random_scalar()
+
+        Y_0 = multiscalar_mul([y_r, y_x], [H, G]).compress()
+        Y_1 = (y_r * P_dest).compress()
+        Y_2 = (y_r * P_source).compress()
+
+        transcript.append_point(b"Y_0", Y_0)
+        transcript.append_point(b"Y_1", Y_1)
+        transcript.append_point(b"Y_2", Y_2)
+
+        c = transcript.challenge_scalar(b"c")
+
+        z_r = (c * r + y_r) % scalars.L
+        z_x = (c * x + y_x) % scalars.L
+
+        transcript.append_scalar(b"z_r", z_r)
+        transcript.append_scalar(b"z_x", z_x)
+
+        transcript.challenge_scalar(b"w")
+
+        return CiphertextValidityProof(Y_0, Y_1, Y_2, z_r, z_x)
+
+    def pre_verify(
+        self,
+        commitment: PedersenCommitment,
+        dest_pubkey: ElGamalPubkey,
+        source_pubkey: ElGamalPubkey,
+        dest_handle: DecryptHandle,
+        source_handle: DecryptHandle,
+        transcript: ProtocolTranscript,
+        batch_collector: BatchCollector,
+    ) -> None:
+        transcript.ciphertext_validity_proof_domain_separator()
+
+        transcript.validate_and_append_point(b"Y_0", self.Y_0)
+        transcript.validate_and_append_point(b"Y_1", self.Y_1)
+        transcript.validate_and_append_point(b"Y_2", self.Y_2)
+
+        c = transcript.challenge_scalar(b"c")
+
+        transcript.append_scalar(b"z_r", self.z_r)
+        transcript.append_scalar(b"z_x", self.z_x)
+
+        w = transcript.challenge_scalar(b"w")
+
+        Y_0 = _decompress_or_fail(self.Y_0, "ciphertext_validity_proof")
+        Y_1 = _decompress_or_fail(self.Y_1, "ciphertext_validity_proof")
+        Y_2 = _decompress_or_fail(self.Y_2, "ciphertext_validity_proof")
+
+        batch_factor = scalars.random_scalar()
+
+        batch_collector.g_scalar += self.z_x * batch_factor
+        batch_collector.h_scalar += self.z_r * batch_factor
+
+        w_z_r = w * self.z_r % scalars.L
+        w_neg_c = -w * c % scalars.L
+
+        batch_collector.extend(
+            zip(
+                [
+                    -c * batch_factor,
+                    -batch_factor,
+                    w_z_r * batch_factor,
+                    w_neg_c * batch_factor,
+                    -w * batch_factor,
+                    w * w_z_r * batch_factor,
+                    w * w_neg_c * batch_factor,
+                    -w * w * batch_factor,
+                ],
+                [
+                    commitment.point,
+                    Y_0,
+                    dest_pubkey.point,
+                    dest_handle.point,
+                    Y_1,
+                    source_pubkey.point,
+                    source_handle.point,
+                    Y_2,
+                ],
+            )
+        )
+
+    def to_bytes(self) -> bytes:
+        return (
+            self.Y_0 + self.Y_1 + self.Y_2
+            + scalars.to_bytes(self.z_r) + scalars.to_bytes(self.z_x)
+        )
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "CiphertextValidityProof":
+        assert len(data) == 160
+        zs = [scalars.from_canonical_bytes(data[i:i + 32]) for i in (96, 128)]
+        if any(z is None for z in zs):
+            raise ProofVerificationError("format", "non-canonical scalar")
+        return CiphertextValidityProof(data[0:32], data[32:64], data[64:96], *zs)

@@ -1,0 +1,323 @@
+"""Transaction verification + state application (verifier pipeline).
+
+Mirrors /root/reference/src/tx/verify.rs: the
+``BlockchainVerificationState`` protocol, nonce/signature/multisig checks,
+per-asset CommitmentEqProof and per-transfer CiphertextValidityProof
+collection into a shared sigma BatchCollector, and batched range proof
+verification — whole-block verification costs exactly TWO multiscalar
+multiplications (one sigma, one range mega-MSM), which the TPU engine runs
+as fused kernels.
+
+Parity notes:
+- state mutations are interleaved with proof collection exactly as in the
+  reference (verify.rs:294-341, 343-395), so a failing batch leaves state
+  partially mutated; callers pass a snapshot/clone (lib.rs:296).
+- an out-of-range multisig signer index is silently skipped, matching the
+  reference's behavior (verify.rs:276).
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+from ..bulletproofs.generators import BP_GENS, PC_GENS
+from ..bulletproofs.range_proof import RangeProof
+from ..elgamal import DecryptHandle, ElGamalCiphertext, PedersenCommitment
+from ..errors import (
+    DecompressionError,
+    InvalidNonceError,
+    ProofVerificationError,
+    StateError,
+)
+from ..hashcore.blake3 import blake3
+from ..pyref.ristretto import IDENTITY, multiscalar_mul
+from ..sigma import BatchCollector
+from ..types import CompressedCiphertext, CompressedPubkey, Hash, NATIVE_ASSET, Role
+from .builder import prepare_transcript
+from .model import BurnPayload, MultiSigPayload, SmartContractCall, Transaction, Transfer
+
+_IDENTITY_COMPRESSED = b"\x00" * 32
+
+
+class BlockchainVerificationState(Protocol):
+    """Verifier-side state abstraction (verify.rs:25-77)."""
+
+    def get_account_balance(self, account: CompressedPubkey, asset: Hash, role: Role): ...
+
+    def update_account_balance(
+        self, account: CompressedPubkey, asset: Hash, new_ct, role: Role
+    ) -> None: ...
+
+    def get_account_nonce(self, account: CompressedPubkey) -> int: ...
+
+    def update_account_nonce(self, account: CompressedPubkey, new_nonce: int) -> None: ...
+
+    def set_output_ciphertext(self, account: CompressedPubkey, asset: Hash, ct) -> None: ...
+
+    def set_multisig_for_account(
+        self, account: CompressedPubkey, signers: list, threshold: int
+    ) -> None: ...
+
+    def get_multisig_for_account(self, account: CompressedPubkey): ...
+
+
+class _DecompressedTransferCt:
+    __slots__ = ("amount_commitment", "amount_sender_handle", "amount_receiver_handle")
+
+    def __init__(self, transfer: Transfer):
+        self.amount_commitment = transfer.amount_commitment.decompress()
+        self.amount_sender_handle = transfer.amount_sender_handle.decompress()
+        self.amount_receiver_handle = transfer.amount_receiver_handle.decompress()
+
+    def get_ciphertext(self, role: Role) -> ElGamalCiphertext:
+        handle = (
+            self.amount_receiver_handle if role == Role.RECEIVER else self.amount_sender_handle
+        )
+        return ElGamalCiphertext(self.amount_commitment, handle)
+
+
+def _get_sender_output_ct(tx: Transaction, asset: Hash, decompressed_transfers) -> ElGamalCiphertext:
+    """Total spend ciphertext for one asset (verify.rs:104-144)."""
+    bal = ElGamalCiphertext.zero()
+    if asset.is_zeros():
+        bal = bal + tx.fee
+    data = tx.data
+    if isinstance(data, list):
+        for transfer, d in zip(data, decompressed_transfers):
+            if asset == transfer.asset:
+                bal = bal + d.get_ciphertext(Role.SENDER)
+    elif isinstance(data, BurnPayload):
+        if asset == data.asset:
+            bal = bal + data.amount
+    elif isinstance(data, SmartContractCall):
+        amount = data.assets.get(asset)
+        if amount is not None:
+            bal = bal + amount
+    return bal
+
+
+def _verify_commitment_assets(tx: Transaction) -> bool:
+    """Native commitment mandatory, no duplicates, every used asset covered
+    (verify.rs:160-199)."""
+    commitment_assets = [c.asset for c in tx.new_source_commitments]
+    if NATIVE_ASSET not in commitment_assets:
+        return False
+    if len(set(commitment_assets)) != len(commitment_assets):
+        return False
+    covered = set(commitment_assets)
+    data = tx.data
+    if isinstance(data, list):
+        return all(t.asset in covered for t in data)
+    if isinstance(data, BurnPayload):
+        return data.asset in covered
+    if isinstance(data, SmartContractCall):
+        return all(a in covered for a in data.assets)
+    return True
+
+
+def pre_verify(
+    tx: Transaction, state: BlockchainVerificationState, sigma_batch_collector: BatchCollector
+):
+    """verify.rs:201-485.  Returns (transcript, value_commitments) where
+    value_commitments is the list of compressed commitment bytes for the
+    range proof, identity-padded to a power of two."""
+    account_nonce = state.get_account_nonce(tx.source)
+    if account_nonce != tx.nonce:
+        raise InvalidNonceError(f"expected {account_nonce}, got {tx.nonce}")
+    state.update_account_nonce(tx.source, tx.nonce)
+
+    if not _verify_commitment_assets(tx):
+        raise ProofVerificationError("format", "commitment assets")
+
+    transfers = tx.data if isinstance(tx.data, list) else []
+    transfers_decompressed = [_DecompressedTransferCt(t) for t in transfers]
+
+    new_source_commitments_decompressed = [
+        c.new_source_commitment.decompress() for c in tx.new_source_commitments
+    ]
+
+    source_decompressed = tx.source.decompress()
+
+    transcript = prepare_transcript(tx.version, tx.source, tx.fee, tx.nonce)
+
+    # 0. Signature (verify.rs:252-256)
+    tx_bytes, multisig_offset = tx.to_bytes()
+    if not tx.signature.verify(tx_bytes, source_decompressed):
+        raise ProofVerificationError("signature")
+
+    # Multisig config consistency + signatures (verify.rs:258-292)
+    multisig_config = state.get_multisig_for_account(tx.source)
+    if multisig_config is not None:
+        signers, threshold = multisig_config
+        signatures = tx.get_multisig()
+        if signatures is None:
+            raise ProofVerificationError("format", "state requires multisig")
+        if len(signatures) == 0 or len(signatures) != threshold:
+            raise ProofVerificationError("format", "multisig signature count")
+        h = blake3(tx_bytes[:multisig_offset])
+        seen_indices = set()
+        for index, signature in signatures:
+            if index in seen_indices:
+                raise ProofVerificationError("format", "duplicate multisig signer")
+            seen_indices.add(index)
+            if index < len(signers):
+                decompressed = signers[index].decompress()
+                if not signature.verify(h, decompressed):
+                    raise ProofVerificationError("signature", "multisig")
+            # NOTE: out-of-range index silently skipped (reference parity,
+            # verify.rs:276)
+    elif tx.get_multisig() is not None:
+        raise ProofVerificationError("format", "unexpected multisig")
+
+    # 1. CommitmentEqProofs (verify.rs:294-341)
+    for commitment, new_source_commitment in zip(
+        tx.new_source_commitments, new_source_commitments_decompressed
+    ):
+        source_current_ciphertext = state.get_account_balance(
+            tx.source, commitment.asset, Role.SENDER
+        ).decompress()
+
+        output = _get_sender_output_ct(tx, commitment.asset, transfers_decompressed)
+        new_ct = source_current_ciphertext - output
+
+        transcript.new_commitment_eq_proof_domain_separator()
+        transcript.append_hash(b"new_source_commitment_asset", commitment.asset)
+        transcript.append_commitment(b"new_source_commitment", commitment.new_source_commitment)
+
+        commitment.new_commitment_eq_proof.pre_verify(
+            source_decompressed,
+            new_ct,
+            new_source_commitment,
+            transcript,
+            sigma_batch_collector,
+        )
+
+        state.update_account_balance(tx.source, commitment.asset, new_ct.compress(), Role.SENDER)
+        state.set_output_ciphertext(tx.source, commitment.asset, output)
+
+    # 2. CiphertextValidityProofs / burn / multisig payload (verify.rs:343-430)
+    data = tx.data
+    if isinstance(data, list):
+        for transfer, decompressed in zip(data, transfers_decompressed):
+            receiver = transfer.dest_pubkey.decompress()
+
+            current_balance = state.get_account_balance(
+                transfer.dest_pubkey, transfer.asset, Role.RECEIVER
+            ).decompress()
+            receiver_ct = decompressed.get_ciphertext(Role.RECEIVER)
+            receiver_new_balance = current_balance + receiver_ct
+            state.update_account_balance(
+                transfer.dest_pubkey,
+                transfer.asset,
+                receiver_new_balance.compress(),
+                Role.RECEIVER,
+            )
+
+            transcript.transfer_proof_domain_separator()
+            transcript.append_pubkey(b"dest_pubkey", transfer.dest_pubkey)
+            transcript.append_commitment(b"amount_commitment", transfer.amount_commitment)
+            transcript.append_handle(b"amount_sender_handle", transfer.amount_sender_handle)
+            transcript.append_handle(b"amount_receiver_handle", transfer.amount_receiver_handle)
+
+            transfer.ct_validity_proof.pre_verify(
+                decompressed.amount_commitment,
+                receiver,
+                source_decompressed,
+                decompressed.amount_receiver_handle,
+                decompressed.amount_sender_handle,
+                transcript,
+                sigma_batch_collector,
+            )
+    elif isinstance(data, BurnPayload):
+        transcript.burn_proof_domain_separator()
+        transcript.append_hash(b"asset", data.asset)
+        transcript.append_u64(b"amount", data.amount)
+    elif isinstance(data, MultiSigPayload):
+        if data.threshold > len(data.signers) or (data.signers and data.threshold == 0):
+            raise ProofVerificationError("format", "multisig threshold")
+        if len({s.data for s in data.signers}) != len(data.signers):
+            raise ProofVerificationError("format", "duplicate multisig signer")
+        if any(s == tx.source for s in data.signers):
+            raise ProofVerificationError("format", "source in multisig")
+        transcript.multisig_proof_domain_separator()
+        transcript.append_u64(b"threshold", data.threshold)
+        for signer in data.signers:
+            transcript.append_pubkey(b"signer", signer)
+        state.set_multisig_for_account(tx.source, data.signers, data.threshold)
+
+    # Assemble value commitments for the range proof, identity-padded to a
+    # power of two (verify.rs:432-478)
+    value_commitments = [c.new_source_commitment.data for c in tx.new_source_commitments]
+    if isinstance(data, list):
+        value_commitments.extend(t.amount_commitment.data for t in data)
+    n_commitments = len(value_commitments)
+    next_pow2 = 1 << (n_commitments - 1).bit_length() if n_commitments > 1 else 1
+    value_commitments.extend([_IDENTITY_COMPRESSED] * (next_pow2 - n_commitments))
+
+    return transcript, value_commitments
+
+
+def verify_batch(
+    txs: list[Transaction], state: BlockchainVerificationState, msm=multiscalar_mul
+) -> None:
+    """Whole-block verification: ONE sigma MSM + ONE range-proof mega-MSM
+    (verify.rs:487-517)."""
+    sigma_batch_collector = BatchCollector(msm_fn=msm)
+    prepared = []
+    for tx in txs:
+        transcript, commitments = pre_verify(tx, state, sigma_batch_collector)
+        prepared.append((transcript, commitments))
+
+    if not sigma_batch_collector.verify():
+        raise ProofVerificationError("generic_proof", "sigma batch")
+
+    RangeProof.verify_batch(
+        [
+            tx.range_proof.verification_view(transcript, commitments, 64)
+            for tx, (transcript, commitments) in zip(txs, prepared)
+        ],
+        BP_GENS,
+        PC_GENS,
+        msm=msm,
+    )
+
+
+def verify(tx: Transaction, state: BlockchainVerificationState, msm=multiscalar_mul) -> None:
+    """Single-transaction verification (verify.rs:519-542)."""
+    sigma_batch_collector = BatchCollector(msm_fn=msm)
+    transcript, commitments = pre_verify(tx, state, sigma_batch_collector)
+
+    if not sigma_batch_collector.verify():
+        raise ProofVerificationError("generic_proof", "sigma")
+
+    tx.range_proof.verify_multiple(BP_GENS, PC_GENS, transcript, commitments, 64, msm=msm)
+
+
+def apply_without_verify(tx: Transaction, state: BlockchainVerificationState) -> None:
+    """Replay balance updates for an already-validated tx (verify.rs:544-619)."""
+    transfers = tx.data if isinstance(tx.data, list) else []
+    transfers_decompressed = [_DecompressedTransferCt(t) for t in transfers]
+
+    for commitment in tx.new_source_commitments:
+        asset = commitment.asset
+        current = state.get_account_balance(tx.source, asset, Role.SENDER).decompress()
+        output = _get_sender_output_ct(tx, asset, transfers_decompressed)
+        new_ct = current - output
+        state.update_account_balance(tx.source, asset, new_ct.compress(), Role.SENDER)
+        state.set_output_ciphertext(tx.source, asset, output)
+
+    data = tx.data
+    if isinstance(data, list):
+        for transfer, decompressed in zip(data, transfers_decompressed):
+            current = state.get_account_balance(
+                transfer.dest_pubkey, transfer.asset, Role.RECEIVER
+            ).decompress()
+            receiver_new_balance = current + decompressed.get_ciphertext(Role.RECEIVER)
+            state.update_account_balance(
+                transfer.dest_pubkey,
+                transfer.asset,
+                receiver_new_balance.compress(),
+                Role.RECEIVER,
+            )
+    elif isinstance(data, MultiSigPayload):
+        state.set_multisig_for_account(tx.source, data.signers, data.threshold)

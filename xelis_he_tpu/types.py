@@ -1,0 +1,133 @@
+"""Compressed 32-byte wire types and common enums.
+
+Mirrors /root/reference/src/compressed.rs (CompressedCommitment /
+CompressedCiphertext / CompressedPubkey / CompressedHandle as transparent
+[u8;32] Pod types) and lib.rs:26-46 (Hash) / lib.rs:91-95 (Role).
+
+All compressed types are immutable bytes wrappers; ``decompress`` validates
+the Ristretto encoding and raises :class:`DecompressionError` on failure.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import TYPE_CHECKING
+
+from .errors import DecompressionError
+from .pyref.ristretto import RistrettoPoint
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .elgamal import DecryptHandle, ElGamalCiphertext, ElGamalPubkey, PedersenCommitment
+
+
+class Role(enum.Enum):
+    SENDER = "sender"
+    RECEIVER = "receiver"
+
+
+class Hash:
+    """32-byte transaction/asset hash (lib.rs:40-46).  The all-zero hash is
+    the native asset."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data: bytes = b"\x00" * 32):
+        assert len(data) == 32
+        self.data = bytes(data)
+
+    def is_zeros(self) -> bool:
+        return self.data == b"\x00" * 32
+
+    def __eq__(self, other):
+        return isinstance(other, Hash) and self.data == other.data
+
+    def __hash__(self):
+        return hash(self.data)
+
+    def __repr__(self):
+        return f"Hash({self.data.hex()})"
+
+
+NATIVE_ASSET = Hash()
+
+
+def _decompress_point(data: bytes) -> RistrettoPoint:
+    pt = RistrettoPoint.decompress(data)
+    if pt is None:
+        raise DecompressionError(f"invalid encoding {data.hex()}")
+    return pt
+
+
+class _Compressed32:
+    __slots__ = ("data",)
+
+    def __init__(self, data: bytes):
+        assert len(data) == 32, f"expected 32 bytes, got {len(data)}"
+        self.data = bytes(data)
+
+    def __eq__(self, other):
+        return type(other) is type(self) and self.data == other.data
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.data))
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self.data.hex()})"
+
+
+class CompressedCommitment(_Compressed32):
+    def decompress(self) -> "PedersenCommitment":
+        from .elgamal import PedersenCommitment
+
+        return PedersenCommitment(_decompress_point(self.data))
+
+
+class CompressedHandle(_Compressed32):
+    def decompress(self) -> "DecryptHandle":
+        from .elgamal import DecryptHandle
+
+        return DecryptHandle(_decompress_point(self.data))
+
+
+class CompressedPubkey(_Compressed32):
+    def decompress(self) -> "ElGamalPubkey":
+        from .elgamal import ElGamalPubkey
+
+        return ElGamalPubkey(_decompress_point(self.data))
+
+
+class CompressedCiphertext:
+    """commitment ‖ handle, 64 bytes on the wire (compressed.rs:37-63)."""
+
+    __slots__ = ("commitment", "handle")
+
+    def __init__(self, commitment: CompressedCommitment, handle: CompressedHandle):
+        self.commitment = commitment
+        self.handle = handle
+
+    @property
+    def data(self) -> bytes:
+        return self.commitment.data + self.handle.data
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "CompressedCiphertext":
+        assert len(data) == 64
+        return CompressedCiphertext(CompressedCommitment(data[:32]), CompressedHandle(data[32:]))
+
+    def decompress(self) -> "ElGamalCiphertext":
+        from .elgamal import ElGamalCiphertext
+
+        return ElGamalCiphertext(self.commitment.decompress(), self.handle.decompress())
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, CompressedCiphertext)
+            and self.commitment == other.commitment
+            and self.handle == other.handle
+        )
+
+    def __hash__(self):
+        return hash((self.commitment, self.handle))
+
+    def __repr__(self):
+        return f"CompressedCiphertext({self.data.hex()})"
