@@ -1,0 +1,241 @@
+"""Multiscalar multiplication (Pippenger) on batched limb points.
+
+THE hot primitive of the framework (SURVEY.md D4): batched sigma
+verification and range-proof batch verification each reduce to one giant
+MSM.  TPU-native design:
+
+- host decomposes scalars into W unsigned c-bit window digits (numpy);
+- per window, points are sorted by digit (one XLA sort), bucket sums are
+  built with a SEGMENTED SCAN over the sorted points (O(N) point-adds in
+  O(log N) parallel steps via lax.associative_scan), bucket totals are
+  scattered into a 2^c bucket array, and the weighted bucket reduction
+  sum_b b*S_b is two more scans;
+- windows combine MSB->LSB with c doublings (Horner).
+
+Everything is static-shape and jit-compatible; the same code runs under
+numpy for small host MSMs (using a Hillis-Steele scan fallback).
+
+Scalar digits are PUBLIC data only (verification scalars); secrets never
+take this path.
+"""
+
+from __future__ import annotations
+
+import numpy as _np
+
+from ..pyref.ristretto import RistrettoPoint
+from .curve import Curve
+
+DEFAULT_WINDOW = 13
+SCALAR_BITS = 256
+
+
+def decompose_bits(scalars: list[int], n_bits: int = 253) -> _np.ndarray:
+    """(n_bits, N) uint32 bit rows, LSB first."""
+    out = _np.zeros((n_bits, len(scalars)), dtype=_np.uint32)
+    for i, s in enumerate(scalars):
+        b = 0
+        while s:
+            if s & 1:
+                out[b, i] = 1
+            s >>= 1
+            b += 1
+    return out
+
+
+def decompose_digits(scalars: list[int], c: int = DEFAULT_WINDOW) -> _np.ndarray:
+    """(W, N) int32 unsigned c-bit digits, least-significant window first."""
+    n_windows = (SCALAR_BITS + c - 1) // c
+    out = _np.zeros((n_windows, len(scalars)), dtype=_np.int32)
+    mask = (1 << c) - 1
+    for i, s in enumerate(scalars):
+        for w in range(n_windows):
+            d = (s >> (w * c)) & mask
+            if d:
+                out[w, i] = d
+    return out
+
+
+def _combine_seg(curve: Curve, a, b):
+    """Segmented-scan combine: (flag, point) pairs, flag marks segment head."""
+    f1, p1 = a
+    f2, p2 = b
+    return (f1 | f2, curve.select(f2, p2, curve.add(p1, p2)))
+
+
+def _inclusive_scan(curve: Curve, flags, pts, use_jax: bool):
+    if use_jax:
+        from jax import lax
+
+        return lax.associative_scan(
+            lambda x, y: _combine_seg(curve, x, y), (flags, pts), axis=0
+        )
+    # Hillis-Steele fallback for numpy (host; small N): standard prefix scan
+    # with the associative segmented combine.
+    n = int(flags.shape[0])
+    shift = 1
+    while shift < n:
+        tail = _combine_seg(
+            curve,
+            (flags[:-shift], tuple(c[:-shift] for c in pts)),
+            (flags[shift:], tuple(c[shift:] for c in pts)),
+        )
+        flags = _np.concatenate([flags[:shift], tail[0]])
+        pts = tuple(
+            _np.concatenate([c[:shift], t], axis=0) for c, t in zip(pts, tail[1])
+        )
+        shift *= 2
+    return flags, pts
+
+
+def _tree_reduce(curve: Curve, pts, n: int, use_jax: bool = False):
+    """Pairwise-add reduction of the leading axis (identity-padded).
+
+    The jax path keeps array sizes CONSTANT and loops log2(n) times with a
+    dynamic roll — one copy of the add graph total, so compile time does not
+    scale with n (an unrolled halving tree made XLA compile superlinearly).
+    Lanes >= n/2^k hold garbage at level k but are never read by later
+    levels, so no masking is needed.
+    """
+    xp = curve.xp
+    size = 1
+    while size < n:
+        size *= 2
+    if size != n:
+        pad = curve.identity((size - n,))
+        pts = tuple(xp.concatenate([c, p], axis=0) for c, p in zip(pts, pad))
+
+    if use_jax and size > 1:
+        import jax.numpy as jnp
+        from jax import lax
+
+        levels = size.bit_length() - 1
+
+        def body(k, x):
+            half = size >> (k + 1)
+            shifted = tuple(jnp.roll(c, -half, axis=0) for c in x)
+            return curve.add(x, shifted)
+
+        pts = lax.fori_loop(0, levels, body, pts)
+        return tuple(c[0] for c in pts)
+
+    while size > 1:
+        half = size // 2
+        lo = tuple(c[:half] for c in pts)
+        hi = tuple(c[half:] for c in pts)
+        pts = curve.add(lo, hi)
+        size = half
+    return tuple(c[0] for c in pts)
+
+
+class MsmEngine:
+    """Pippenger MSM bound to a Curve backend."""
+
+    def __init__(self, curve: Curve, window: int = DEFAULT_WINDOW, use_jax: bool = False):
+        self.curve = curve
+        self.window = window
+        self.use_jax = use_jax
+
+    def _window_sum(self, points, d):
+        """Bucket-accumulate one window's digits ``d`` (N,) over ``points``
+        and return sum_b b*S_b as a single point."""
+        curve = self.curve
+        xp = curve.xp
+        n_buckets = 1 << self.window
+
+        order = xp.argsort(d)
+        ds = xp.take(d, order)
+        pts = tuple(xp.take(coord, order, axis=0) for coord in points)
+        # segment heads: first lane or digit change
+        prev = xp.concatenate([ds[:1] - 1, ds[:-1]])
+        flags = ds != prev
+        _, scanned = _inclusive_scan(curve, flags, pts, self.use_jax)
+        # last element of each segment carries the bucket total
+        nxt = xp.concatenate([ds[1:], ds[-1:] + 1])
+        is_last = ds != nxt
+        # scatter totals; non-last lanes and digit-0 lanes go to a dump slot
+        target = xp.where(is_last & (ds > 0), ds, n_buckets)
+        buckets = curve.identity((n_buckets + 1,))
+        if self.use_jax:
+            buckets = tuple(b.at[target].set(s) for b, s in zip(buckets, scanned))
+        else:
+            buckets = tuple(_np.array(b) for b in buckets)
+            for b, s in zip(buckets, scanned):
+                b[target] = s
+        buckets = tuple(b[1:n_buckets] for b in buckets)  # drop 0 and dump
+
+        # suffix sums R_b = sum_{j>=b} S_j (reversed scan), then
+        # sum_b b*S_b = sum_b R_b (tree reduction)
+        rev = tuple(b[::-1] for b in buckets)
+        no_flags = xp.zeros((n_buckets - 1,), dtype=bool)
+        _, suffix = _inclusive_scan(curve, no_flags, rev, self.use_jax)
+        return _tree_reduce(curve, suffix, n_buckets - 1, self.use_jax)
+
+    def msm(self, points, digits):
+        """points: batched point tuple (N lanes); digits: (W, N) int32.
+        Returns a single (unbatched) point tuple."""
+        curve = self.curve
+        c = self.window
+
+        if self.use_jax:
+            from jax import lax
+
+            def body(acc, d_row):
+                for _ in range(c):
+                    acc = curve.double(acc)
+                return curve.add(acc, self._window_sum(points, d_row)), None
+
+            acc, _ = lax.scan(body, curve.identity(()), digits[::-1])
+            return acc
+
+        acc = curve.identity(())
+        for w in range(digits.shape[0] - 1, -1, -1):
+            for _ in range(c):
+                acc = curve.double(acc)
+            acc = curve.add(acc, self._window_sum(points, digits[w]))
+        return acc
+
+    # -- bit-serial double-and-add MSM (small graph, scan over 253 bits) ----
+
+    def msm_daa(self, points, bits):
+        """MSM via per-lane double-and-add + pairwise tree reduction.
+
+        ``bits``: (n_bits, N) uint32/bool, LSB first.  Compared to Pippenger
+        this does more arithmetic but compiles to a tiny lax.scan graph and
+        vectorizes perfectly over lanes — the robust default on TPU.
+        """
+        curve = self.curve
+        N = bits.shape[1]
+
+        if self.use_jax:
+            from jax import lax
+
+            def body(state, bit_row):
+                acc, base = state
+                acc = curve.select(bit_row.astype(bool), curve.add(acc, base), acc)
+                base = curve.double(base)
+                return (acc, base), None
+
+            (acc, _), _ = lax.scan(body, (curve.identity((N,)), points), bits)
+        else:
+            acc, base = curve.identity((N,)), points
+            for row in bits:
+                acc = curve.select(row.astype(bool), curve.add(acc, base), acc)
+                base = curve.double(base)
+        return _tree_reduce(curve, acc, N, self.use_jax)
+
+    # -- convenience host API ----------------------------------------------
+
+    def msm_points(self, scalars: list[int], points: list[RistrettoPoint]) -> RistrettoPoint:
+        if not scalars:
+            from ..pyref.ristretto import IDENTITY
+
+            return IDENTITY
+        digits = decompose_digits(scalars, self.window)
+        batch = self.curve.from_points(points)
+        if self.use_jax:
+            import jax.numpy as jnp
+
+            digits = jnp.asarray(digits)
+        result = self.msm(batch, digits)
+        return self.curve.to_points(tuple(c[None] for c in result))[0]
