@@ -1,0 +1,120 @@
+"""Headline benchmark: batched confidential-transaction verification.
+
+Reference baseline: ~0.40 ms/tx amortized on a 100-tx batch with aggregated
+range proofs + batched sigma proofs (xelis-he README.md:24; BASELINE.md).
+
+This bench builds a block of transfers against the mock ledger, then times
+``verify_batch`` — whole-block verification compiles to two fused MSMs on
+the accelerator (sigma + range mega-MSM) plus host transcript replay (C++
+STROBE) and scalar bookkeeping.
+
+Env knobs:
+  XELIS_BENCH_TXS        batch size (default 100)
+  XELIS_BENCH_TRANSFERS  transfers per tx (default 1)
+  XELIS_BENCH_ITERS      timed iterations (default 3)
+  XELIS_BENCH_BACKEND    jax|numpy|pyref (default jax)
+
+Prints ONE JSON line on stdout:
+  {"metric": "batched_verify_per_tx", "value": <ms>, "unit": "ms/tx",
+   "vs_baseline": <speedup factor vs 0.40 ms/tx>}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MS_PER_TX = 0.40
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    n_txs = int(os.environ.get("XELIS_BENCH_TXS", "100"))
+    n_transfers = int(os.environ.get("XELIS_BENCH_TRANSFERS", "1"))
+    iters = int(os.environ.get("XELIS_BENCH_ITERS", "3"))
+    backend = os.environ.get("XELIS_BENCH_BACKEND", "jax")
+
+    from xelis_he_tpu import (
+        NATIVE_ASSET,
+        TransactionBuilder,
+        TransferBuilder,
+        TransfersBuilder,
+        verify_batch,
+    )
+    from xelis_he_tpu.mock import Account, GenerationBalance, Ledger
+
+    accel = None
+    if backend != "pyref":
+        from xelis_he_tpu.ops.accel import Accelerator
+
+        accel = Accelerator(backend)
+
+    log(f"bench: {n_txs} txs x {n_transfers} transfers, backend={backend}")
+
+    t0 = time.time()
+    ledger = Ledger()
+    senders = []
+    receiver = Account([(NATIVE_ASSET, 0)])
+    pk_receiver = ledger.add_account(receiver)
+    txs = []
+    for i in range(n_txs):
+        sender = Account([(NATIVE_ASSET, 1_000_000)])
+        pk_s = ledger.add_account(sender)
+        senders.append(sender)
+        builder = TransactionBuilder(
+            version=1,
+            source=pk_s,
+            data=TransfersBuilder(
+                [
+                    TransferBuilder(
+                        asset=NATIVE_ASSET, amount=10 + j, dest_pubkey=pk_receiver
+                    )
+                    for j in range(n_transfers)
+                ]
+            ),
+            fee=1,
+            nonce=0,
+        )
+        txs.append(
+            builder.build(
+                GenerationBalance({NATIVE_ASSET: 1_000_000}, sender), sender.keypair
+            )
+        )
+        if (i + 1) % 25 == 0:
+            log(f"  built {i + 1}/{n_txs} txs ({time.time() - t0:.1f}s)")
+    log(f"setup: {time.time() - t0:.1f}s")
+
+    # warmup (compiles device kernels)
+    t0 = time.time()
+    verify_batch(txs, ledger.clone(), accel=accel)
+    log(f"warmup verify (incl. compiles): {time.time() - t0:.1f}s")
+
+    best = float("inf")
+    for it in range(iters):
+        state = ledger.clone()
+        t0 = time.time()
+        verify_batch(txs, state, accel=accel)
+        dt = time.time() - t0
+        best = min(best, dt)
+        log(f"  iter {it}: {dt * 1000:.1f} ms total, {dt * 1000 / n_txs:.3f} ms/tx")
+
+    ms_per_tx = best * 1000 / n_txs
+    print(
+        json.dumps(
+            {
+                "metric": "batched_verify_per_tx",
+                "value": round(ms_per_tx, 4),
+                "unit": "ms/tx",
+                "vs_baseline": round(BASELINE_MS_PER_TX / ms_per_tx, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -87,3 +87,37 @@ def test_chacha20_native_matches_python():
     d = secrets.token_bytes(777)
     assert chacha20_xor(k, n, d) == _chacha20_xor_py(k, n, d)
     assert chacha20_xor(k, n, chacha20_xor(k, n, d)) == d
+
+
+def test_native_hashcore_matches_python():
+    """C++ hashcore (when buildable) must agree with the Python ground truth."""
+    import pytest
+
+    try:
+        from xelis_he_tpu.hashcore import native
+    except Exception:
+        pytest.skip("native hashcore unavailable")
+    import random
+
+    random.seed(3)
+    s1, s2 = Strobe128(b"p"), native.NativeStrobe128(b"p")
+    for _ in range(50):
+        op = random.choice(["meta_ad", "ad", "prf", "key"])
+        n = random.randrange(0, 400)
+        if op == "prf":
+            assert s1.prf(n, False) == s2.prf(n, False)
+        else:
+            data = secrets.token_bytes(n)
+            getattr(s1, op)(data, False)
+            getattr(s2, op)(data, False)
+    from xelis_he_tpu.hashcore.blake3 import _blake3_py
+
+    for n in (0, 1, 64, 1024, 1025, 5000):
+        d = secrets.token_bytes(n)
+        assert native.blake3(d) == _blake3_py(d)
+    k, nn = secrets.token_bytes(32), secrets.token_bytes(12)
+    d = secrets.token_bytes(777)
+    assert native.chacha20_xor(k, nn, d) == _chacha20_xor_py(k, nn, d)
+    import hashlib
+
+    assert native.sha3_512(d) == hashlib.sha3_512(d).digest()

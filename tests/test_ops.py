@@ -146,3 +146,22 @@ def test_accelerator_numpy_backend():
     assert valid[:-1] == [True] * n and valid[-1] is False
     assert all(dpts[i] == pts[i] for i in range(n))
     assert acc.compress_many(pts) == [p.compress() for p in pts]
+
+
+def test_limb_slack_invariant():
+    """Deep op chains must keep limbs within the documented slack bound
+    (uint32 product-overflow safety)."""
+    import numpy as np
+    from xelis_he_tpu.ops.fe import SLACK_BOUND
+
+    ints = _rand_ints(8)
+    a = F.from_ints(ints)
+    m = a
+    vals = list(ints)
+    for i in range(30):
+        m = F.square(m)
+        vals = [x * x % P for x in vals]
+        m = F.sub(F.add(m, m), m)
+        vals = [(x + x - x) % P for x in vals]
+        assert int(np.asarray(m).max()) < SLACK_BOUND
+    assert Field.to_ints(F.canon(m)) == vals

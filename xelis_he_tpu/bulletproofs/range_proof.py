@@ -30,6 +30,17 @@ from .util import delta, exp_iter, inner_product
 L = scalars.L
 
 
+def _decompress_cached(pb: bytes) -> RistrettoPoint:
+    """Decompress via the block-level cache (seeded by batch verification)."""
+    from ..errors import DecompressionError
+    from ..types import _decompress_point
+
+    try:
+        return _decompress_point(pb)
+    except DecompressionError:
+        raise ProofVerificationError("range_proof", "point decompression") from None
+
+
 class RangeProof:
     __slots__ = ("A", "S", "T_1", "T_2", "t_x", "t_x_blinding", "e_blinding", "ipp_proof")
 
@@ -248,12 +259,7 @@ class RangeProof:
         dyn_sc, dyn_pts_b, g, h, b_sc, bb_sc = self._verification_scalars(
             transcript, value_commitments, n, bp_gens
         )
-        points = []
-        for pb in dyn_pts_b:
-            pt = RistrettoPoint.decompress(pb)
-            if pt is None:
-                raise ProofVerificationError("range_proof", "point decompression")
-            points.append(pt)
+        points = [_decompress_cached(pb) for pb in dyn_pts_b]
         scalars_all = dyn_sc + [b_sc, bb_sc] + g + h
         points_all = points + [pc_gens.B, pc_gens.B_blinding] + bp_gens.G(n, m) + bp_gens.H(n, m)
         if not msm(scalars_all, points_all).is_identity():
@@ -272,11 +278,16 @@ class RangeProof:
         bp_gens: BulletproofGens,
         pc_gens: PedersenGens,
         msm=multiscalar_mul,
+        msm_check=None,
     ) -> None:
-        """Fold N aggregated proofs into ONE random-linear-combination MSM."""
+        """Fold N aggregated proofs into ONE random-linear-combination MSM.
+
+        With ``msm_check`` (device-side identity predicate), returns the
+        unevaluated check value instead of raising — the caller evaluates it
+        together with other deferred checks (one host sync for the block)."""
         views = list(views)
         if not views:
-            return
+            return True if msm_check is not None else None
         max_nm = 0
         dyn_scalars: list[int] = []
         dyn_points: list[RistrettoPoint] = []
@@ -295,18 +306,14 @@ class RangeProof:
                 view.transcript, view.value_commitments, view.n, bp_gens
             )
             for sc, pb in zip(dyn_sc, dyn_pts_b):
-                pt = RistrettoPoint.decompress(pb)
-                if pt is None:
-                    raise ProofVerificationError("range_proof", "point decompression")
                 dyn_scalars.append(sc * rho % L)
-                dyn_points.append(pt)
+                dyn_points.append(_decompress_cached(pb))
             for i in range(nm):
                 g_acc[i] = (g_acc[i] + g[i] * rho) % L
                 h_acc[i] = (h_acc[i] + h[i] * rho) % L
             b_acc = (b_acc + b_sc * rho) % L
             bb_acc = (bb_acc + bb_sc * rho) % L
 
-        m_max = max_nm // views[0].n if views else 0
         n = views[0].n
         scalars_all = dyn_scalars + [b_acc, bb_acc] + g_acc + h_acc
         points_all = (
@@ -315,6 +322,8 @@ class RangeProof:
             + bp_gens.G(n, max_nm // n)
             + bp_gens.H(n, max_nm // n)
         )
+        if msm_check is not None:
+            return msm_check(scalars_all, points_all)
         if not msm(scalars_all, points_all).is_identity():
             raise ProofVerificationError("range_proof", "batch verification equation")
 

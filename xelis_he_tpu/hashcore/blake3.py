@@ -93,7 +93,13 @@ def _root_output(cv, block_words, counter, block_len, flags, out_len: int) -> by
 
 
 def blake3(data: bytes, out_len: int = 32) -> bytes:
-    """Unkeyed BLAKE3 hash of ``data``."""
+    """Unkeyed BLAKE3 hash of ``data``.  Prefers the C++ kernel."""
+    if out_len == 32 and _native_blake3 is not None:
+        return _native_blake3(data)
+    return _blake3_py(data, out_len)
+
+
+def _blake3_py(data: bytes, out_len: int = 32) -> bytes:
     if len(data) <= _CHUNK_LEN:
         # single chunk: root is the chunk itself
         chunk = data
@@ -129,3 +135,9 @@ def blake3(data: bytes, out_len: int = 32) -> bytes:
         return _compress(list(_IV), block_words, 0, _BLOCK_LEN, PARENT)[:8]
 
     return merge(cvs, True)  # type: ignore[return-value]
+
+
+try:  # native C++ kernel (csrc); optional
+    from .native import blake3 as _native_blake3
+except Exception:  # pragma: no cover
+    _native_blake3 = None

@@ -1,22 +1,26 @@
-"""Batched fe25519 arithmetic in 16x16-bit limbs (TPU-native core).
+"""Batched fe25519 arithmetic in 18x15-bit relaxed limbs (TPU-native core).
 
 This is the hot layer of the framework (SURVEY.md D1): field elements are
-structure-of-arrays uint32 tensors of shape (..., 16), sixteen 16-bit limbs,
-little-endian.  The same code runs under numpy (host) and jax.numpy (traced
-into XLA for TPU):
+structure-of-arrays uint32 tensors of shape (..., 18), eighteen 15-bit limbs
+little-endian, with SLACK: limbs are allowed up to 2^15 + 2^11.  The slack is
+what makes the design TPU-shaped:
 
-- limb products of 16-bit values are EXACT in uint32 (max (2^16-1)^2 < 2^32);
-- partial-product column sums after a hi/lo split stay < 2^21, far from
-  overflow, so no intermediate needs more than 32 bits — this maps directly
-  onto the TPU VPU's native int32 lanes with no emulated wide arithmetic;
-- reduction folds limb k >= 16 with weight 2^256 = 38 (mod p) and runs two
-  fixed 16-step carry chains — branch-free, fully unrolled at trace time.
+- after every op a single VECTORIZED partial-carry (3-4 ops over the limb
+  axis) replaces a 16-step sequential carry chain: each limb absorbs only its
+  immediate neighbor's high bits, and the residue stays within the slack;
+- relaxed limbs still multiply safely in uint32: (2^15 + 2^11)^2 < 2^31, and
+  hi/lo-split column sums stay < 2^26;
+- 15*17 = 255, so limb 17 sits exactly at bit 255: the wrap 2^255 = 19 (mod
+  p) folds limb-17 carries into limb 1 with a single multiply by 19*2^15 ==
+  "19 into the next limb";
+- the whole field-mul graph is ~60 XLA ops (vs ~500 for a chained-carry
+  design), which keeps compile times of scan-of-point-ops kernels low and
+  feeds the VPU wide uniform vector ops.
 
-Invariant: all public functions accept and return "carried" elements (every
-limb < 2^16, value < 2^256, possibly not fully reduced below p).  Use
-``canon`` before bit-exact comparisons or serialization.
+Exact normalization (``canon``) only happens at comparisons/serialization.
 
-Ground truth: xelis_he_tpu.pyref.field (cross-checked in tests/test_ops.py).
+The same code runs under numpy (host) and jax.numpy (jit/TPU).  Ground
+truth: xelis_he_tpu.pyref.field (cross-checked in tests/test_ops.py).
 """
 
 from __future__ import annotations
@@ -25,9 +29,10 @@ import numpy as _np
 
 from ..pyref import field as _pf
 
-NLIMBS = 16
-LIMB_BITS = 16
+NLIMBS = 18
+LIMB_BITS = 15
 MASK = (1 << LIMB_BITS) - 1
+SLACK_BOUND = (1 << LIMB_BITS) + (1 << 11)  # documented invariant
 
 P_INT = _pf.P
 
@@ -36,21 +41,25 @@ def _int_to_limbs_list(v: int, n: int = NLIMBS) -> list[int]:
     return [(v >> (LIMB_BITS * k)) & MASK for k in range(n)]
 
 
-# 4p decomposed so that every limb is >= 2^16 (for borrow-free subtraction):
-# greedily borrow from the limb above.
-def _pad_limbs(mult: int) -> list[int]:
-    v = mult * P_INT
-    limbs = [(v >> (LIMB_BITS * k)) & MASK for k in range(NLIMBS + 1)]
+def _pad_limbs() -> list[int]:
+    """A multiple of p in NLIMBS limbs, every limb in [0x8800, 2^17), for
+    borrow-free subtraction of any relaxed-limb operand."""
+    m = (1 << LIMB_BITS) + (1 << 11) + 2  # ensures per-limb >= any operand limb
+    v = m * P_INT
+    limbs = [(v >> (LIMB_BITS * k)) & MASK for k in range(NLIMBS)]
+    limbs.append(v >> (LIMB_BITS * NLIMBS))
     for k in range(NLIMBS):
-        if limbs[k] < (1 << LIMB_BITS):
+        while limbs[k] < SLACK_BOUND:
             limbs[k] += 1 << LIMB_BITS
             limbs[k + 1] -= 1
-    assert all(l >= (1 << LIMB_BITS) for l in limbs[:NLIMBS]) and limbs[NLIMBS] >= 0
-    assert sum(l << (LIMB_BITS * k) for k, l in enumerate(limbs)) == mult * P_INT
+    assert all(SLACK_BOUND <= l < (1 << 17) + (1 << 16) for l in limbs[:NLIMBS])
+    assert limbs[NLIMBS] >= 0
+    total = sum(l << (LIMB_BITS * k) for k, l in enumerate(limbs))
+    assert total == m * P_INT
     return limbs
 
 
-_PAD4P = _pad_limbs(4)
+_PAD = _pad_limbs()
 
 
 class Field:
@@ -60,8 +69,8 @@ class Field:
         self.xp = xp
         self.dtype = xp.uint32
         self.P_LIMBS = xp.asarray(_int_to_limbs_list(P_INT), dtype=xp.uint32)
-        self.PAD4P = xp.asarray(_PAD4P[:NLIMBS], dtype=xp.uint32)
-        self.PAD4P_TOP = _PAD4P[NLIMBS]  # python int (compile-time constant)
+        self.PAD = xp.asarray(_PAD[:NLIMBS], dtype=xp.uint32)
+        self.PAD_TOP = _PAD[NLIMBS]  # python int (compile-time constant)
         self.ZERO = xp.zeros((NLIMBS,), dtype=xp.uint32)
         self.ONE = xp.asarray(_int_to_limbs_list(1), dtype=xp.uint32)
         self.SQRT_M1 = self.from_int(_pf.SQRT_M1)
@@ -79,9 +88,22 @@ class Field:
         return self.xp.asarray(_int_to_limbs_list(v % P_INT), dtype=self.dtype)
 
     def from_ints(self, vs):
-        raw = b"".join((v % P_INT).to_bytes(32, "little") for v in vs)
-        arr = _np.frombuffer(raw, dtype="<u2").reshape(len(vs), NLIMBS)
-        return self.xp.asarray(arr.astype(_np.uint32))
+        raw = b"".join((v % P_INT).to_bytes(34, "little") for v in vs)
+        b16 = _np.frombuffer(raw, dtype="<u2").reshape(len(vs), 17).astype(_np.uint32)
+        return self.xp.asarray(self._b16_to_limbs_np(b16))
+
+    @staticmethod
+    def _b16_to_limbs_np(b16: _np.ndarray) -> _np.ndarray:
+        """(N, 17) 16-bit words -> (N, 18) 15-bit limbs (numpy)."""
+        out = _np.zeros((b16.shape[0], NLIMBS), dtype=_np.uint32)
+        for k in range(NLIMBS):
+            bit = 15 * k
+            a, s = bit // 16, bit % 16
+            v = b16[:, a] >> s
+            if s > 1 and a + 1 < b16.shape[1]:
+                v = v | (b16[:, a + 1] << (16 - s))
+            out[:, k] = v & MASK
+        return out
 
     @staticmethod
     def to_ints(a) -> list[int]:
@@ -96,97 +118,130 @@ class Field:
         return out
 
     def from_bytes_le(self, b):
-        """(..., 32) uint8 array -> limbs, masking bit 255 (dalek
-        FieldElement::from_bytes)."""
+        """(..., 32) uint8 -> limbs, masking bit 255 (dalek from_bytes)."""
         xp = self.xp
         b = b.astype(self.dtype)
-        lo = b[..., 0::2]
-        hi = b[..., 1::2]
-        limbs = lo + (hi << 8)
-        # mask top bit of limb 15
-        top_mask = xp.asarray([MASK] * (NLIMBS - 1) + [0x7FFF], dtype=self.dtype)
-        return limbs & top_mask
+        w16 = b[..., 0::2] + (b[..., 1::2] << 8)  # (..., 16) 16-bit words
+        top_mask = xp.asarray([0xFFFF] * 15 + [0x7FFF], dtype=self.dtype)
+        w16 = w16 & top_mask
+        limbs = []
+        for k in range(NLIMBS):
+            bit = 15 * k
+            a, s = bit // 16, bit % 16
+            if bit >= 256:
+                limbs.append(xp.zeros_like(w16[..., 0]))
+                continue
+            v = w16[..., a] >> s
+            if a + 1 < 16:
+                v = v | (w16[..., a + 1] << (16 - s))
+            limbs.append(v & MASK)
+        return xp.stack(limbs, axis=-1)
 
     def to_bytes_le(self, a):
         """Canonical limbs -> (..., 32) uint8."""
         xp = self.xp
         a = self.canon(a)
-        lo = (a & 0xFF).astype(xp.uint8)
-        hi = ((a >> 8) & 0xFF).astype(xp.uint8)
+        words = []
+        for j in range(16):
+            bit = 16 * j
+            k, s = bit // 15, bit % 15
+            v = a[..., k] >> s
+            if k + 1 < NLIMBS:
+                v = v | (a[..., k + 1] << (15 - s))
+            if k + 2 < NLIMBS and (15 - s) + 15 < 16:
+                v = v | (a[..., k + 2] << (30 - s))
+            words.append(v & 0xFFFF)
+        w = xp.stack(words, axis=-1)
+        lo = (w & 0xFF).astype(xp.uint8)
+        hi = ((w >> 8) & 0xFF).astype(xp.uint8)
         return xp.stack([lo, hi], axis=-1).reshape(*a.shape[:-1], 32)
 
     # -- carry machinery ----------------------------------------------------
 
-    def _carry(self, t):
-        """Propagate carries on (..., 16) uint32 limbs (each < 2^27 or so),
-        folding the top carry with weight 2^256 = 38 mod p.  Output limbs
-        < 2^16."""
+    def _partial_carry(self, t):
+        """One vectorized carry step: each limb keeps its low 15 bits and
+        absorbs the neighbor's high bits; limb-17 carries wrap into limb 1
+        with weight 19 (2^270 = 19 * 2^15 mod p).  No sequential chain: the
+        residue (< 2^11 per limb) lives inside the slack invariant."""
         xp = self.xp
-        outs = []
-        carry = xp.zeros_like(t[..., 0])
-        for k in range(NLIMBS):
-            v = t[..., k] + carry
-            outs.append(v & MASK)
-            carry = v >> LIMB_BITS
-        # top carry: weight 2^256 == 38 (mod p)
-        outs[0] = outs[0] + carry * xp.asarray(38, dtype=self.dtype)
-        result = []
-        carry = xp.zeros_like(t[..., 0])
-        for k in range(NLIMBS):
-            v = outs[k] + carry
-            result.append(v & MASK)
-            carry = v >> LIMB_BITS
-        # If the second pass still carries out (value wrapped past 2^256),
-        # the wrapped value is provably tiny (< 2*38), so folding 38*carry
-        # into limb 0 cannot ripple further.
-        result[0] = result[0] + carry * xp.asarray(38, dtype=self.dtype)
-        return xp.stack(result, axis=-1)
+        lo = t & MASK
+        hi = t >> LIMB_BITS
+        shifted = xp.concatenate([xp.zeros_like(hi[..., :1]), hi[..., :-1]], axis=-1)
+        wrap = hi[..., NLIMBS - 1:] * xp.asarray(19, dtype=self.dtype)
+        wrap_vec = xp.concatenate(
+            [xp.zeros_like(wrap), wrap] + [xp.zeros_like(t[..., :NLIMBS - 2])],
+            axis=-1,
+        )
+        return lo + shifted + wrap_vec
+
+    def _exact_carry(self, t):
+        """Full sequential normalization to limbs < 2^15 (canon only)."""
+        xp = self.xp
+        for _ in range(2):
+            outs = []
+            carry = xp.zeros_like(t[..., 0])
+            for k in range(NLIMBS):
+                v = t[..., k] + carry
+                outs.append(v & MASK)
+                carry = v >> LIMB_BITS
+            outs[1] = outs[1] + carry * xp.asarray(19, dtype=self.dtype)
+            t = xp.stack(outs, axis=-1)
+        return t
 
     # -- ring ops -----------------------------------------------------------
 
     def add(self, a, b):
-        return self._carry(a + b)
+        return self._partial_carry(a + b)
 
     def sub(self, a, b):
         xp = self.xp
-        t = (a + self.PAD4P - b).astype(self.dtype)  # PAD4P limbs >= 2^16: no underflow
-        # fold the implicit 17th limb of 4p (constant) with weight 2^256 = 38
+        t = (a + self.PAD - b).astype(self.dtype)
+        # implicit top limb of PAD (weight 2^270 == 19*2^15): into limb 1
         bump = xp.asarray(
-            [self.PAD4P_TOP * 38] + [0] * (NLIMBS - 1), dtype=self.dtype
+            [0, self.PAD_TOP * 19] + [0] * (NLIMBS - 2), dtype=self.dtype
         )
-        return self._carry(t + bump)
-
+        return self._partial_carry(t + bump)
 
     def neg(self, a):
         return self.sub(self.xp.broadcast_to(self.ZERO, a.shape), a)
 
     def mul(self, a, b):
         xp = self.xp
-        # outer products: (..., 16, 16), exact in uint32
+        # outer products (..., 18, 18); relaxed limbs <= 2^15+2^11 so the
+        # products stay < 2^31 — exact in uint32
         prods = a[..., :, None] * b[..., None, :]
         lo = prods & MASK
         hi = prods >> LIMB_BITS
-        # Column sums via shift-and-pad: row i of ``lo`` lands at columns
-        # i..i+15, row i of ``hi`` at i+1..i+16.  One stacked pad + one
-        # reduction instead of ~250 scalar adds keeps the traced graph small
-        # (compile time) and maps onto wide VPU reductions.
+        # column sums via shift-and-pad: row i of lo lands at columns
+        # i..i+17, row i of hi at i+1..i+18 (36-wide accumulator)
         zeros = xp.zeros_like(lo)
-        wide = xp.concatenate([lo, zeros], axis=-1)  # (..., 16, 32)
+        wide_l = xp.concatenate([lo, zeros], axis=-1)  # (..., 18, 36)
         rolled_lo = xp.stack(
-            [xp.roll(wide[..., i, :], i, axis=-1) for i in range(NLIMBS)], axis=-2
+            [xp.roll(wide_l[..., i, :], i, axis=-1) for i in range(NLIMBS)], axis=-2
         )
         wide_h = xp.concatenate([hi, zeros], axis=-1)
         rolled_hi = xp.stack(
             [xp.roll(wide_h[..., i, :], i + 1, axis=-1) for i in range(NLIMBS)], axis=-2
         )
-        # dtype= keeps numpy from promoting the accumulator to uint64
         cols = rolled_lo.sum(axis=-2, dtype=self.dtype) + rolled_hi.sum(
             axis=-2, dtype=self.dtype
-        )  # (..., 32)
-        # fold k >= 16 with weight 2^256 = 38 mod p
-        t38 = xp.asarray(38, dtype=self.dtype)
-        folded = cols[..., :NLIMBS] + cols[..., NLIMBS:] * t38
-        return self._carry(folded)
+        )  # (..., 36); each < 2^26
+        # fold: columns k >= 18 have weight 2^270 * 2^15(k-18) == 19 * 2^15 *
+        # 2^15(k-18) (mod p) -> add 19*c_k into column k-17.
+        t19 = xp.asarray(19, dtype=self.dtype)
+        high = cols[..., NLIMBS:2 * NLIMBS - 1]  # columns 18..34 (17 of them)
+        bump = xp.concatenate([xp.zeros_like(cols[..., :1]), high * t19], axis=-1)
+        # column 35 (hi of limb17*limb17) wraps twice: 2^(15*35) == 19^2 *
+        # 2^15 (mod p) -> 361 into column 1
+        c35 = cols[..., 2 * NLIMBS - 1:] * xp.asarray(361, dtype=self.dtype)
+        bump2 = xp.concatenate(
+            [xp.zeros_like(c35), c35] + [xp.zeros_like(cols[..., : NLIMBS - 2])],
+            axis=-1,
+        )
+        folded = cols[..., :NLIMBS] + bump + bump2
+        # two passes: the first leaves up to ~2^14 of wrap residue in limb 1,
+        # the second settles all limbs back under the ~2^15+64 invariant
+        return self._partial_carry(self._partial_carry(folded))
 
     def square(self, a):
         return self.mul(a, a)
@@ -194,18 +249,32 @@ class Field:
     # -- canonical form & predicates ----------------------------------------
 
     def canon(self, a):
-        """Reduce to [0, p): subtract p up to twice with borrow-select."""
+        """Reduce to [0, p): normalize digits exactly, fold bit 255+, then
+        conditionally subtract p (twice)."""
+        xp = self.xp
+        t = self._exact_carry(self._partial_carry(a))
+        # limbs now < 2^15; value < 2^270.  limb 17 holds bits 255..269:
+        # value = A + 2^255*B with B = limb17 -> A + 19*B.
+        b_top = t[..., NLIMBS - 1:]
+        bump = xp.concatenate(
+            [b_top * xp.asarray(19, dtype=self.dtype)]
+            + [xp.zeros_like(t[..., : NLIMBS - 1])],
+            axis=-1,
+        )
+        t = self._exact_carry(
+            xp.concatenate([t[..., : NLIMBS - 1], xp.zeros_like(b_top)], axis=-1)
+            + bump
+        )
         for _ in range(2):
-            a = self._cond_sub_p(a)
-        return a
+            t = self._cond_sub_p(t)
+        return t
 
     def _cond_sub_p(self, a):
         xp = self.xp
-        # compute a - p with borrow; select a if it underflows
         borrow = xp.zeros_like(a[..., 0])
         diffs = []
         for k in range(NLIMBS):
-            need = self.P_LIMBS[k] + borrow  # <= 2^16, no overflow
+            need = self.P_LIMBS[k] + borrow  # <= 2^15, no overflow
             under = (a[..., k] < need).astype(self.dtype)
             diffs.append((a[..., k] - need) & MASK)
             borrow = under
@@ -220,7 +289,7 @@ class Field:
         return self.xp.all(self.canon(a) == 0, axis=-1)
 
     def is_negative(self, a):
-        """Ristretto negativity: LSB of canonical form."""
+        """Ristretto negativity: LSB of the canonical encoding."""
         return (self.canon(a)[..., 0] & 1).astype(bool)
 
     def select(self, cond, a, b):

@@ -30,30 +30,29 @@ DEFAULT_WINDOW = 13
 SCALAR_BITS = 256
 
 
+def _scalar_bytes(scalars: list[int]) -> _np.ndarray:
+    raw = b"".join(s.to_bytes(32, "little") for s in scalars)
+    return _np.frombuffer(raw, dtype=_np.uint8).reshape(len(scalars), 32)
+
+
 def decompose_bits(scalars: list[int], n_bits: int = 253) -> _np.ndarray:
-    """(n_bits, N) uint32 bit rows, LSB first."""
-    out = _np.zeros((n_bits, len(scalars)), dtype=_np.uint32)
-    for i, s in enumerate(scalars):
-        b = 0
-        while s:
-            if s & 1:
-                out[b, i] = 1
-            s >>= 1
-            b += 1
-    return out
+    """(n_bits, N) uint32 bit rows, LSB first (vectorized via unpackbits)."""
+    bits = _np.unpackbits(_scalar_bytes(scalars), axis=1, bitorder="little")
+    return _np.ascontiguousarray(bits[:, :n_bits].T).astype(_np.uint32)
 
 
 def decompose_digits(scalars: list[int], c: int = DEFAULT_WINDOW) -> _np.ndarray:
     """(W, N) int32 unsigned c-bit digits, least-significant window first."""
     n_windows = (SCALAR_BITS + c - 1) // c
-    out = _np.zeros((n_windows, len(scalars)), dtype=_np.int32)
-    mask = (1 << c) - 1
-    for i, s in enumerate(scalars):
-        for w in range(n_windows):
-            d = (s >> (w * c)) & mask
-            if d:
-                out[w, i] = d
-    return out
+    bits = _np.unpackbits(_scalar_bytes(scalars), axis=1, bitorder="little")
+    pad = n_windows * c - SCALAR_BITS
+    if pad:
+        bits = _np.concatenate(
+            [bits, _np.zeros((bits.shape[0], pad), dtype=bits.dtype)], axis=1
+        )
+    weights = (1 << _np.arange(c, dtype=_np.int64)).astype(_np.int64)
+    digits = bits.reshape(len(scalars), n_windows, c).astype(_np.int64) @ weights
+    return _np.ascontiguousarray(digits.T).astype(_np.int32)
 
 
 def _combine_seg(curve: Curve, a, b):
@@ -223,6 +222,41 @@ class MsmEngine:
                 acc = curve.select(row.astype(bool), curve.add(acc, base), acc)
                 base = curve.double(base)
         return _tree_reduce(curve, acc, N, self.use_jax)
+
+    def batch_dual_mul(self, P_batch, bits_a, bits_b, q_table):
+        """Per-lane r_i = a_i*Q + b_i*P_i with a SHARED base Q.
+
+        Used for batched Schnorr verification (r = s*H - e*P): Q's doubles
+        are precomputed host-side (``q_table``: point-tuple of (n_bits, 16)
+        arrays), so each scan step costs 2 masked adds + 1 double.
+        Returns an (N,)-batch of points.
+        """
+        curve = self.curve
+        N = bits_a.shape[1]
+
+        if self.use_jax:
+            from jax import lax
+
+            def body(state, xs):
+                acc, base = state
+                bit_a, bit_b, q_row = xs
+                acc = curve.select(bit_a.astype(bool), curve.add(acc, q_row), acc)
+                acc = curve.select(bit_b.astype(bool), curve.add(acc, base), acc)
+                base = curve.double(base)
+                return (acc, base), None
+
+            (acc, _), _ = lax.scan(
+                body, (curve.identity((N,)), P_batch), (bits_a, bits_b, q_table)
+            )
+            return acc
+
+        acc, base = curve.identity((N,)), P_batch
+        for k in range(bits_a.shape[0]):
+            q_row = tuple(c[k] for c in q_table)
+            acc = curve.select(bits_a[k].astype(bool), curve.add(acc, q_row), acc)
+            acc = curve.select(bits_b[k].astype(bool), curve.add(acc, base), acc)
+            base = curve.double(base)
+        return acc
 
     # -- convenience host API ----------------------------------------------
 

@@ -52,12 +52,23 @@ class BatchCollector:
         )
         return mega.is_identity()
 
+    def verify_deferred(self, msm_check):
+        """Dispatch the identity check via ``msm_check`` (e.g. the
+        accelerator's device-side predicate) without blocking."""
+        return msm_check(
+            self.dynamic_scalars + [self.g_scalar % scalars.L, self.h_scalar % scalars.L],
+            self.dynamic_points + [G, H],
+        )
+
 
 def _decompress_or_fail(b: bytes, kind: str) -> RistrettoPoint:
-    pt = RistrettoPoint.decompress(b)
-    if pt is None:
-        raise ProofVerificationError(kind)
-    return pt
+    from .types import _decompress_point
+    from .errors import DecompressionError
+
+    try:
+        return _decompress_point(b)
+    except DecompressionError:
+        raise ProofVerificationError(kind) from None
 
 
 class CommitmentEqProof:

@@ -116,11 +116,19 @@ def _verify_commitment_assets(tx: Transaction) -> bool:
 
 
 def pre_verify(
-    tx: Transaction, state: BlockchainVerificationState, sigma_batch_collector: BatchCollector
+    tx: Transaction,
+    state: BlockchainVerificationState,
+    sigma_batch_collector: BatchCollector,
+    sig_entries: list | None = None,
 ):
     """verify.rs:201-485.  Returns (transcript, value_commitments) where
     value_commitments is the list of compressed commitment bytes for the
-    range proof, identity-padded to a power of two."""
+    range proof, identity-padded to a power of two.
+
+    When ``sig_entries`` is given (batch path), signature checks are
+    DEFERRED: (signature, pubkey_point, pubkey_compressed, message) tuples
+    are appended for one fused device verification at the end of the batch
+    (batch failure is transactional either way)."""
     account_nonce = state.get_account_nonce(tx.source)
     if account_nonce != tx.nonce:
         raise InvalidNonceError(f"expected {account_nonce}, got {tx.nonce}")
@@ -142,7 +150,9 @@ def pre_verify(
 
     # 0. Signature (verify.rs:252-256)
     tx_bytes, multisig_offset = tx.to_bytes()
-    if not tx.signature.verify(tx_bytes, source_decompressed):
+    if sig_entries is not None:
+        sig_entries.append((tx.signature, source_decompressed, tx.source, tx_bytes))
+    elif not tx.signature.verify(tx_bytes, source_decompressed):
         raise ProofVerificationError("signature")
 
     # Multisig config consistency + signatures (verify.rs:258-292)
@@ -162,7 +172,9 @@ def pre_verify(
             seen_indices.add(index)
             if index < len(signers):
                 decompressed = signers[index].decompress()
-                if not signature.verify(h, decompressed):
+                if sig_entries is not None:
+                    sig_entries.append((signature, decompressed, signers[index], h))
+                elif not signature.verify(h, decompressed):
                     raise ProofVerificationError("signature", "multisig")
             # NOTE: out-of-range index silently skipped (reference parity,
             # verify.rs:276)
@@ -257,29 +269,97 @@ def pre_verify(
     return transcript, value_commitments
 
 
+def _collect_compressed(txs: list[Transaction]) -> list[bytes]:
+    """All 32-byte encodings a block's verification will decompress; used to
+    seed the decompression cache from ONE fused device call."""
+    seen: dict[bytes, None] = {}
+
+    def put(b: bytes):
+        seen.setdefault(b, None)
+
+    for tx in txs:
+        put(tx.source.data)
+        for c in tx.new_source_commitments:
+            put(c.new_source_commitment.data)
+            p = c.new_commitment_eq_proof
+            put(p.Y_0), put(p.Y_1), put(p.Y_2)
+        if isinstance(tx.data, list):
+            for t in tx.data:
+                put(t.dest_pubkey.data)
+                put(t.amount_commitment.data)
+                put(t.amount_sender_handle.data)
+                put(t.amount_receiver_handle.data)
+                vp = t.ct_validity_proof
+                put(vp.Y_0), put(vp.Y_1), put(vp.Y_2)
+        rp = tx.range_proof
+        put(rp.A), put(rp.S), put(rp.T_1), put(rp.T_2)
+        for b in rp.ipp_proof.L_vec:
+            put(b)
+        for b in rp.ipp_proof.R_vec:
+            put(b)
+    return list(seen)
+
+
 def verify_batch(
-    txs: list[Transaction], state: BlockchainVerificationState, msm=multiscalar_mul
+    txs: list[Transaction],
+    state: BlockchainVerificationState,
+    msm=multiscalar_mul,
+    accel=None,
 ) -> None:
     """Whole-block verification: ONE sigma MSM + ONE range-proof mega-MSM
-    (verify.rs:487-517)."""
-    sigma_batch_collector = BatchCollector(msm_fn=msm)
-    prepared = []
-    for tx in txs:
-        transcript, commitments = pre_verify(tx, state, sigma_batch_collector)
-        prepared.append((transcript, commitments))
+    (verify.rs:487-517).
 
-    if not sigma_batch_collector.verify():
-        raise ProofVerificationError("generic_proof", "sigma batch")
+    With ``accel`` (ops.accel.Accelerator): every encoding of the block is
+    decompressed in one fused device call, every Schnorr signature (tx +
+    multisig) is verified in one fused device call, and both mega-MSMs run
+    on the device."""
+    from ..types import clear_decompress_cache, seed_decompress_cache
 
-    RangeProof.verify_batch(
-        [
+    sig_entries = None
+    seeded = False
+    if accel is not None:
+        msm = accel.msm
+        sig_entries = []
+        encodings = _collect_compressed(txs)
+        points, valid = accel.decompress_many(encodings)
+        seed_decompress_cache(
+            {e: p for e, p, ok in zip(encodings, points, valid) if ok}
+        )
+        seeded = True
+
+    try:
+        sigma_batch_collector = BatchCollector(msm_fn=msm)
+        prepared = []
+        for tx in txs:
+            transcript, commitments = pre_verify(
+                tx, state, sigma_batch_collector, sig_entries=sig_entries
+            )
+            prepared.append((transcript, commitments))
+
+        views = [
             tx.range_proof.verification_view(transcript, commitments, 64)
             for tx, (transcript, commitments) in zip(txs, prepared)
-        ],
-        BP_GENS,
-        PC_GENS,
-        msm=msm,
-    )
+        ]
+        if accel is not None:
+            # dispatch all three device checks, then sync the host ONCE
+            sigma_ok = sigma_batch_collector.verify_deferred(accel.msm_check)
+            range_ok = RangeProof.verify_batch(
+                views, BP_GENS, PC_GENS, msm_check=accel.msm_check
+            )
+            sigs_ok = all(accel.verify_signatures(sig_entries))
+            if not sigs_ok:
+                raise ProofVerificationError("signature")
+            if not bool(sigma_ok):
+                raise ProofVerificationError("generic_proof", "sigma batch")
+            if not bool(range_ok):
+                raise ProofVerificationError("range_proof", "batch verification equation")
+        else:
+            if not sigma_batch_collector.verify():
+                raise ProofVerificationError("generic_proof", "sigma batch")
+            RangeProof.verify_batch(views, BP_GENS, PC_GENS, msm=msm)
+    finally:
+        if seeded:
+            clear_decompress_cache()
 
 
 def verify(tx: Transaction, state: BlockchainVerificationState, msm=multiscalar_mul) -> None:

@@ -51,7 +51,26 @@ class Hash:
 NATIVE_ASSET = Hash()
 
 
+# Block-level decompression cache: batch verification pre-decompresses every
+# encoding of a block in one fused device call (ops.accel) and seeds this map;
+# per-item decompression then becomes a lookup.  Invalid encodings are never
+# cached, so the host path still raises at the exact reference-equivalent
+# point.
+_DECOMPRESS_CACHE: dict[bytes, RistrettoPoint] = {}
+
+
+def seed_decompress_cache(mapping: dict[bytes, RistrettoPoint]) -> None:
+    _DECOMPRESS_CACHE.update(mapping)
+
+
+def clear_decompress_cache() -> None:
+    _DECOMPRESS_CACHE.clear()
+
+
 def _decompress_point(data: bytes) -> RistrettoPoint:
+    pt = _DECOMPRESS_CACHE.get(data)
+    if pt is not None:
+        return pt
     pt = RistrettoPoint.decompress(data)
     if pt is None:
         raise DecompressionError(f"invalid encoding {data.hex()}")
