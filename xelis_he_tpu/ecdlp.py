@@ -1,0 +1,198 @@
+"""ECDLP decoder: fast discrete log of m*G for small m (balance amounts).
+
+Capability parity with the xelis curve25519-dalek fork's ``ecdlp`` module
+(SURVEY.md D5; /root/reference/src/elgamal.rs:67-92): a precomputed
+baby-step table (file-backed, built offline) plus a BSGS search with a
+configurable range and progress callback; ``par_decode`` runs the giant
+steps as batched device kernels.
+
+TPU-native design: table build generates baby steps in batched chunks (one
+vectorized point-add + compress per chunk); par_decode subtracts a
+device-resident lane-offset table from the target in batches and compresses,
+with the table lookup as one numpy ``searchsorted`` per batch.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+
+from .pyref.ristretto import BASEPOINT as G, IDENTITY, RistrettoPoint, mul_base
+
+_PREFIX_BYTES = 8
+
+
+def _prefix_of(compressed: bytes) -> int:
+    return int.from_bytes(compressed[:_PREFIX_BYTES], "little")
+
+
+class ECDLPArguments:
+    """Decode parameters (mirrors ecdlp::ECDLPArguments semantics)."""
+
+    def __init__(self, range_min: int = 0, range_max: int = 1 << 48, progress_fn=None):
+        assert range_max > range_min
+        self.range_min = range_min
+        self.range_max = range_max
+        self.progress_fn = progress_fn
+
+
+class ECDLPTables:
+    """Baby-step table: sorted 8-byte prefixes of compress(i*G), i < 2^l1.
+
+    Persisted as .npz (the analog of the reference's precomputed table
+    *file*, ECDLPTablesFileView).
+    """
+
+    def __init__(self, l1: int, keys: np.ndarray, idx: np.ndarray):
+        self.l1 = l1
+        self.keys = keys  # sorted uint64 prefixes
+        self.idx = idx  # uint32 baby-step index per key
+
+    # -- construction --------------------------------------------------------
+
+    @staticmethod
+    def build(l1: int, accel=None, chunk: int = 4096) -> "ECDLPTables":
+        """Generate the 2^l1 baby steps.  With ``accel`` the chunks run as
+        batched device adds + compress; otherwise on host."""
+        count = 1 << l1
+        prefixes = np.empty(count, dtype=np.uint64)
+        if accel is not None and count >= chunk:
+            curve = accel.curve
+            import jax
+
+            lane = [mul_base(i) for i in range(chunk)]  # 0..chunk-1
+            batch = curve.from_points(lane)
+            step_pt = mul_base(chunk)
+            step = curve.from_points([step_pt] * chunk)
+            add_jit = (
+                jax.jit(curve.add) if accel.backend == "jax" else curve.add
+            )
+            compress_jit = accel._compress_jit
+            pos = 0
+            while pos < count:
+                enc = np.asarray(compress_jit(batch))
+                take = min(chunk, count - pos)
+                prefixes[pos: pos + take] = (
+                    enc[:take, :_PREFIX_BYTES].copy().view("<u8").ravel()
+                )
+                pos += take
+                if pos < count:
+                    batch = add_jit(batch, step)
+        else:
+            acc = IDENTITY
+            for i in range(count):
+                prefixes[i] = _prefix_of(acc.compress())
+                acc = acc + G
+        order = np.argsort(prefixes, kind="stable")
+        return ECDLPTables(l1, prefixes[order], order.astype(np.uint32))
+
+    def save(self, path: str | pathlib.Path) -> None:
+        np.savez(path, l1=self.l1, keys=self.keys, idx=self.idx)
+
+    @staticmethod
+    def load(path: str | pathlib.Path) -> "ECDLPTables":
+        data = np.load(path)
+        return ECDLPTables(int(data["l1"]), data["keys"], data["idx"])
+
+    # -- lookup ---------------------------------------------------------------
+
+    def lookup_many(self, encs: np.ndarray) -> np.ndarray:
+        """encs: (B, 32) uint8 -> int64 baby index or -1 (prefix candidates;
+        callers confirm with an exact point check)."""
+        pre = encs[:, :_PREFIX_BYTES].copy().view("<u8").ravel()
+        pos = np.searchsorted(self.keys, pre)
+        pos = np.minimum(pos, len(self.keys) - 1)
+        hit = self.keys[pos] == pre
+        return np.where(hit, self.idx[pos].astype(np.int64), -1)
+
+
+def decode(tables: ECDLPTables, point: RistrettoPoint, args: ECDLPArguments | None = None):
+    """BSGS decode on host.  Returns the integer m with m*G == point within
+    [range_min, range_max), or None."""
+    args = args or ECDLPArguments()
+    baby_count = 1 << tables.l1
+    # normalize to a non-negative search: M' = point - range_min*G
+    target = point - mul_base(args.range_min)
+    span = args.range_max - args.range_min
+    n_giant = (span + baby_count - 1) // baby_count
+    giant_step = mul_base(baby_count)
+
+    current = target
+    for j in range(n_giant):
+        enc = np.frombuffer(current.compress(), dtype=np.uint8).reshape(1, 32)
+        cand = int(tables.lookup_many(enc)[0])
+        if cand >= 0 and mul_base(cand) == current:
+            m = args.range_min + j * baby_count + cand
+            if m < args.range_max:
+                return m
+        current = current - giant_step
+        if args.progress_fn is not None:
+            args.progress_fn((j + 1) / n_giant)
+    return None
+
+
+def par_decode(
+    tables: ECDLPTables,
+    point: RistrettoPoint,
+    args: ECDLPArguments | None = None,
+    accel=None,
+    batch: int = 1024,
+):
+    """Giant steps as batched device kernels (parity with ecdlp::par_decode).
+
+    Each round subtracts a lane-offset table (j*2^l1*G for j in a window)
+    from the target in one vectorized op and compresses the whole window.
+    """
+    args = args or ECDLPArguments()
+    if accel is None:
+        from .ops.accel import default_accelerator
+
+        accel = default_accelerator()
+    curve = accel.curve
+
+    baby_count = 1 << tables.l1
+    target = point - mul_base(args.range_min)
+    span = args.range_max - args.range_min
+    n_giant = (span + baby_count - 1) // baby_count
+    batch = min(batch, max(1, n_giant))
+
+    # lane offsets: -(j * 2^l1) * G for j in [0, batch)
+    neg_gs = -mul_base(baby_count)
+    offs = [IDENTITY]
+    for _ in range(batch - 1):
+        offs.append(offs[-1] + neg_gs)
+    offsets = accel._to_device_points(offs)
+
+    import jax
+
+    if accel.backend == "jax":
+        def _round(tgt, offsets):
+            pts = curve.add(tgt, offsets)
+            return curve.compress(pts)
+
+        round_jit = jax.jit(_round)
+    else:
+        def round_jit(tgt, offsets):
+            return curve.compress(curve.add(tgt, offsets))
+
+    big_step = -mul_base(baby_count * batch)
+    current = target
+    done = 0
+    while done < n_giant:
+        tgt = accel._to_device_points([current] * batch)
+        encs = np.asarray(round_jit(tgt, offsets))
+        cands = tables.lookup_many(encs)
+        for j in np.nonzero(cands >= 0)[0]:
+            if done + int(j) >= n_giant:
+                continue
+            cand = int(cands[j])
+            m = args.range_min + (done + int(j)) * baby_count + cand
+            # prefix hits are candidates only: confirm exactly
+            if m < args.range_max and mul_base(m) == point:
+                return m
+        current = current + big_step
+        done += batch
+        if args.progress_fn is not None:
+            args.progress_fn(min(1.0, done / n_giant))
+    return None

@@ -18,8 +18,11 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops.accel import _enable_jax_compile_cache
 from ..ops.curve import Curve, jax_curve
 from ..ops.msm import MsmEngine, _tree_reduce, decompose_bits
+
+_enable_jax_compile_cache()
 
 AXIS = "shards"
 
@@ -107,3 +110,47 @@ class ShardedMsm:
         batch = self.curve.from_points(points)
         res = self.msm_device(batch, bits)
         return self.curve.to_points(tuple(c[None] for c in res))[0]
+
+
+class MultiDeviceMsm:
+    """Data-parallel MSM via explicit per-device dispatch (no SPMD
+    partitioner): each device runs the SAME single-device MSM program on its
+    shard of the points (XLA dispatches the launches concurrently), and the
+    D tiny partial sums combine on host.
+
+    This is the practical scaling path when collectives aren't needed (the
+    partials are a few hundred bytes); ``ShardedMsm`` is the
+    shard_map/collective formulation of the same computation.
+    """
+
+    def __init__(self, devices=None, curve: Curve | None = None):
+        self.devices = list(devices) if devices is not None else jax.devices()
+        self.curve = curve or jax_curve()
+        self.engine = MsmEngine(self.curve, use_jax=True)
+        self._jit = jax.jit(self.engine.msm_daa)
+
+    def msm_points(self, scalars, points):
+        from ..pyref.ristretto import IDENTITY
+
+        n = len(scalars)
+        if n == 0:
+            return IDENTITY
+        d = len(self.devices)
+        chunk = -(-n // d)
+        pad = chunk * d - n
+        scalars = list(scalars) + [0] * pad
+        points = list(points) + [IDENTITY] * pad
+        bits = decompose_bits(scalars)
+        batch = self.curve.from_points(points)
+
+        futures = []
+        for i, dev in enumerate(self.devices):
+            sl = slice(i * chunk, (i + 1) * chunk)
+            shard = tuple(jax.device_put(c[sl], dev) for c in batch)
+            shard_bits = jax.device_put(jnp.asarray(bits[:, sl]), dev)
+            futures.append(self._jit(shard, shard_bits))
+
+        total = IDENTITY
+        for res in futures:
+            total = total + self.curve.to_points(tuple(c[None] for c in res))[0]
+        return total

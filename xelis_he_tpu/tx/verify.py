@@ -313,28 +313,33 @@ def verify_batch(
     decompressed in one fused device call, every Schnorr signature (tx +
     multisig) is verified in one fused device call, and both mega-MSMs run
     on the device."""
+    from ..metrics import metrics, span
     from ..types import clear_decompress_cache, seed_decompress_cache
 
+    metrics.incr("verify_batch.txs", len(txs))
     sig_entries = None
     seeded = False
     if accel is not None:
         msm = accel.msm
         sig_entries = []
-        encodings = _collect_compressed(txs)
-        points, valid = accel.decompress_many(encodings)
-        seed_decompress_cache(
-            {e: p for e, p, ok in zip(encodings, points, valid) if ok}
-        )
+        with span("verify_batch.decompress"):
+            encodings = _collect_compressed(txs)
+            points, valid = accel.decompress_many(encodings)
+            seed_decompress_cache(
+                {e: p for e, p, ok in zip(encodings, points, valid) if ok}
+            )
+        metrics.incr("verify_batch.decompressed_points", len(encodings))
         seeded = True
 
     try:
         sigma_batch_collector = BatchCollector(msm_fn=msm)
         prepared = []
-        for tx in txs:
-            transcript, commitments = pre_verify(
-                tx, state, sigma_batch_collector, sig_entries=sig_entries
-            )
-            prepared.append((transcript, commitments))
+        with span("verify_batch.pre_verify"):
+            for tx in txs:
+                transcript, commitments = pre_verify(
+                    tx, state, sigma_batch_collector, sig_entries=sig_entries
+                )
+                prepared.append((transcript, commitments))
 
         views = [
             tx.range_proof.verification_view(transcript, commitments, 64)
@@ -342,11 +347,16 @@ def verify_batch(
         ]
         if accel is not None:
             # dispatch all three device checks, then sync the host ONCE
-            sigma_ok = sigma_batch_collector.verify_deferred(accel.msm_check)
-            range_ok = RangeProof.verify_batch(
-                views, BP_GENS, PC_GENS, msm_check=accel.msm_check
-            )
-            sigs_ok = all(accel.verify_signatures(sig_entries))
+            with span("verify_batch.device_checks"):
+                sigma_ok = sigma_batch_collector.verify_deferred(accel.msm_check)
+                metrics.incr(
+                    "verify_batch.sigma_msm_points",
+                    len(sigma_batch_collector.dynamic_scalars) + 2,
+                )
+                range_ok = RangeProof.verify_batch(
+                    views, BP_GENS, PC_GENS, msm_check=accel.msm_check
+                )
+                sigs_ok = all(accel.verify_signatures(sig_entries))
             if not sigs_ok:
                 raise ProofVerificationError("signature")
             if not bool(sigma_ok):
