@@ -126,11 +126,12 @@ class InnerProductProof:
 
     # -- verifier -----------------------------------------------------------
 
-    def verification_scalars(
-        self, n: int, transcript: ProtocolTranscript
-    ) -> tuple[list[int], list[int], list[int]]:
+    def verification_scalars(self, n: int, transcript: ProtocolTranscript):
         """Recompute (u_sq, u_inv_sq, s) from the transcript
-        (dalek verification_scalars)."""
+        (dalek verification_scalars).  u_sq/u_inv_sq are int lists; ``s``
+        is an (n, 32)-byte scalar array (built by the C++ batch engine)."""
+        from .. import scalarops
+
         lg_n = len(self.L_vec)
         if n == 0 or lg_n >= 32 or n != (1 << lg_n):
             raise ProofVerificationError("range_proof", "ipp length mismatch")
@@ -143,21 +144,11 @@ class InnerProductProof:
             transcript.validate_and_append_point(b"R", R_b)
             challenges.append(transcript.challenge_scalar(b"u"))
 
-        challenges_inv = scalars.batch_invert(challenges)
+        challenges_inv = scalarops.array_to_ints(scalarops.batch_invert(challenges))
         u_sq = [u * u % L for u in challenges]
         u_inv_sq = [u * u % L for u in challenges_inv]
 
-        all_inv = 1
-        for u_inv in challenges_inv:
-            all_inv = all_inv * u_inv % L
-
-        s = [all_inv]
-        for i in range(1, n):
-            lg_i = i.bit_length() - 1
-            k = 1 << lg_i
-            u_lg_i_sq = u_sq[(lg_n - 1) - lg_i]
-            s.append(s[i - k] * u_lg_i_sq % L)
-
+        s = scalarops.ipp_s_vector(u_sq, challenges_inv, n)
         return u_sq, u_inv_sq, s
 
     # -- serialization (ipp part of RangeProof::to_bytes) -------------------

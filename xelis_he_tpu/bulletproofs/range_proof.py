@@ -213,24 +213,25 @@ class RangeProof:
         # random folding scalar (dalek uses a random c per proof)
         c = scalars.random_scalar()
 
+        from .. import scalarops
+
         u_sq, u_inv_sq, s = self.ipp_proof.verification_scalars(nm, transcript)
-        s_inv = s[::-1]
         a, b = self.ipp_proof.a, self.ipp_proof.b
 
-        y_inv = scalars.invert(y)
-        y_inv_pow = exp_iter(y_inv, nm)
-        z_pow = exp_iter(z, m)
+        y_inv = scalarops.invert(y)
+        y_inv_pow = scalarops.powers(y_inv, nm)
+        z_pow_l = exp_iter(z, m)
         zz = z * z % L
         minus_z = (-z) % L
 
-        # concat_z_and_2[i] = z^(i//n) * 2^(i%n)
-        g = [(minus_z - a * s[i]) % L for i in range(nm)]
-        h = [
-            (z + y_inv_pow[i] * ((zz * z_pow[i // n] % L * ((1 << (i % n)) % L) - b * s_inv[i]) % L)) % L
-            for i in range(nm)
-        ]
+        # g[i] = -z - a*s[i];  h[i] = z + y_inv^i*(zz*z^(i//n)*2^(i%n)
+        #                                          - b*s_inv[i])
+        g = scalarops.affine(s, (-a) % L, minus_z)
+        h = scalarops.bp_h_vector(
+            y_inv_pow, scalarops.ints_to_array(z_pow_l), s, z, zz, b, n, m
+        )
 
-        value_scalars = [c * zz % L * z_pow[j] % L for j in range(m)]
+        value_scalars = [c * zz % L * z_pow_l[j] % L for j in range(m)]
         basepoint_scalar = (w * (self.t_x - a * b) + c * (delta(n, m, y, z) - self.t_x)) % L
         b_blinding_scalar = (-self.e_blinding - c * self.t_x_blinding) % L
 
@@ -255,12 +256,16 @@ class RangeProof:
         msm=multiscalar_mul,
     ) -> None:
         """Single-proof verification: one MSM must equal the identity."""
+        from .. import scalarops
+
         m = len(value_commitments)
         dyn_sc, dyn_pts_b, g, h, b_sc, bb_sc = self._verification_scalars(
             transcript, value_commitments, n, bp_gens
         )
         points = [_decompress_cached(pb) for pb in dyn_pts_b]
-        scalars_all = dyn_sc + [b_sc, bb_sc] + g + h
+        scalars_all = (
+            dyn_sc + [b_sc, bb_sc] + scalarops.array_to_ints(g) + scalarops.array_to_ints(h)
+        )
         points_all = points + [pc_gens.B, pc_gens.B_blinding] + bp_gens.G(n, m) + bp_gens.H(n, m)
         if not msm(scalars_all, points_all).is_identity():
             raise ProofVerificationError("range_proof", "verification equation")
@@ -285,21 +290,26 @@ class RangeProof:
         With ``msm_check`` (device-side identity predicate), returns the
         unevaluated check value instead of raising — the caller evaluates it
         together with other deferred checks (one host sync for the block)."""
+        import numpy as np
+
+        from .. import scalarops
+
         views = list(views)
         if not views:
             return True if msm_check is not None else None
         max_nm = 0
         dyn_scalars: list[int] = []
         dyn_points: list[RistrettoPoint] = []
-        g_acc: list[int] = []
-        h_acc: list[int] = []
+        g_acc = np.zeros((0, 32), dtype=np.uint8)
+        h_acc = np.zeros((0, 32), dtype=np.uint8)
         b_acc = 0
         bb_acc = 0
         for view in views:
             nm = view.n * len(view.value_commitments)
             if nm > max_nm:
-                g_acc.extend([0] * (nm - max_nm))
-                h_acc.extend([0] * (nm - max_nm))
+                pad = np.zeros((nm - max_nm, 32), dtype=np.uint8)
+                g_acc = np.concatenate([g_acc, pad])
+                h_acc = np.concatenate([h_acc, pad])
                 max_nm = nm
             rho = scalars.random_scalar()
             dyn_sc, dyn_pts_b, g, h, b_sc, bb_sc = view.proof._verification_scalars(
@@ -308,14 +318,15 @@ class RangeProof:
             for sc, pb in zip(dyn_sc, dyn_pts_b):
                 dyn_scalars.append(sc * rho % L)
                 dyn_points.append(_decompress_cached(pb))
-            for i in range(nm):
-                g_acc[i] = (g_acc[i] + g[i] * rho) % L
-                h_acc[i] = (h_acc[i] + h[i] * rho) % L
+            scalarops.axpy_(g_acc[:nm], g, rho)
+            scalarops.axpy_(h_acc[:nm], h, rho)
             b_acc = (b_acc + b_sc * rho) % L
             bb_acc = (bb_acc + bb_sc * rho) % L
 
         n = views[0].n
-        scalars_all = dyn_scalars + [b_acc, bb_acc] + g_acc + h_acc
+        scalars_all = np.concatenate(
+            [scalarops.ints_to_array(dyn_scalars + [b_acc, bb_acc]), g_acc, h_acc]
+        )
         points_all = (
             dyn_points
             + [pc_gens.B, pc_gens.B_blinding]
@@ -324,7 +335,7 @@ class RangeProof:
         )
         if msm_check is not None:
             return msm_check(scalars_all, points_all)
-        if not msm(scalars_all, points_all).is_identity():
+        if not msm(scalarops.array_to_ints(scalars_all), points_all).is_identity():
             raise ProofVerificationError("range_proof", "batch verification equation")
 
     # ------------------------------------------------------------------

@@ -11,16 +11,21 @@ import copy
 
 from .elgamal import ElGamalCiphertext, ElGamalKeypair
 from .pyref.ristretto import RistrettoPoint
-from .types import CompressedCiphertext, CompressedPubkey, Hash, Role
+from .types import CompressedPubkey, Hash, Role
 
 
 class Account:
     def __init__(self, balances):
         """balances: iterable of (Hash, int) pairs; each is encrypted with a
-        fresh keypair (lib.rs:228-241)."""
+        fresh keypair (lib.rs:228-241).
+
+        Balances are stored DECOMPRESSED (ElGamalCiphertext), mirroring the
+        reference ledger's HashMap<_, Ciphertext> — the verifier state trait
+        passes decompressed ciphertexts both ways (verify.rs:30-44), so no
+        compress/decompress round-trips happen per transaction."""
         self.keypair = ElGamalKeypair.keygen()
-        self.balances: dict[Hash, CompressedCiphertext] = {
-            asset: self.keypair.pubkey().encrypt(balance).compress()
+        self.balances: dict[Hash, ElGamalCiphertext] = {
+            asset: self.keypair.pubkey().encrypt(balance)
             for asset, balance in balances
         }
         self.nonce = 0
@@ -55,7 +60,7 @@ class Ledger:
 
     def get_bal_decrypted(self, account: CompressedPubkey, asset: Hash) -> RistrettoPoint:
         acc = self.accounts[account]
-        return acc.keypair.secret().decrypt(acc.balances[asset].decompress()).as_point()
+        return acc.keypair.secret().decrypt(acc.balances[asset]).as_point()
 
     # -- BlockchainVerificationState ----------------------------------------
 
@@ -94,5 +99,5 @@ class GenerationBalance:
     def get_account_balance(self, asset: Hash) -> int:
         return self.balances[asset]
 
-    def get_account_ct(self, asset: Hash) -> CompressedCiphertext:
+    def get_account_ct(self, asset: Hash) -> ElGamalCiphertext:
         return self.account.balances[asset]

@@ -20,6 +20,7 @@ import numpy as _np
 
 from ..pyref.ristretto import IDENTITY, RistrettoPoint
 from .curve import Curve, jax_curve, numpy_curve
+from .fe import NLIMBS
 from .msm import MsmEngine, decompose_bits
 
 
@@ -39,6 +40,14 @@ def _enable_jax_compile_cache():
 
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
+
+
+def _tree_reduce_group(curve: Curve, acc, start: int, count: int):
+    """Tree-reduce lanes [start, start+count) of a point batch."""
+    from .msm import _tree_reduce
+
+    group = tuple(c[start : start + count] for c in acc)
+    return _tree_reduce(curve, group, count)
 
 
 class Accelerator:
@@ -98,7 +107,20 @@ class Accelerator:
 
     # -- the msm hook --------------------------------------------------------
 
-    def msm(self, scalars: list[int], points: list[RistrettoPoint]) -> RistrettoPoint:
+    @staticmethod
+    def _pad_scalars(scalars, padded: int):
+        """Canonicalize + zero-pad; accepts list[int] or (N,32) uint8."""
+        if isinstance(scalars, _np.ndarray):
+            n = scalars.shape[0]
+            if padded > n:
+                pad = _np.zeros((padded - n, 32), dtype=_np.uint8)
+                scalars = _np.concatenate([scalars, pad])
+            return scalars
+        from .. import scalars as sc
+
+        return [s % sc.L for s in scalars] + [0] * (padded - len(scalars))
+
+    def msm(self, scalars, points: list[RistrettoPoint]) -> RistrettoPoint:
         """Drop-in for pyref.multiscalar_mul, executed on the device."""
         n = len(scalars)
         assert n == len(points)
@@ -107,12 +129,14 @@ class Accelerator:
         if n < self.min_size:
             from ..pyref.ristretto import multiscalar_mul
 
+            from .. import scalarops
+
+            if isinstance(scalars, _np.ndarray):
+                scalars = scalarops.array_to_ints(scalars)
             return multiscalar_mul(scalars, points)
 
-        from .. import scalars as sc
-
         padded = _next_pow2(n)
-        scalars = [s % sc.L for s in scalars] + [0] * (padded - n)
+        scalars = self._pad_scalars(scalars, padded)
         points = list(points) + [IDENTITY] * (padded - n)
 
         bits = decompose_bits(scalars)
@@ -124,21 +148,24 @@ class Accelerator:
         res = self._msm_daa_jit(batch, bits)
         return self._point_from_device(res)
 
-    def msm_check(self, scalars: list[int], points: list[RistrettoPoint]):
+    def msm_check(self, scalars, points: list[RistrettoPoint]):
         """MSM + identity predicate fully on device.  Returns a 0-d device
         bool (jax) or python bool (numpy) WITHOUT blocking, so several checks
         can be dispatched before any host pull."""
-        from .. import scalars as sc
         from ..pyref.ristretto import multiscalar_mul
 
         n = len(scalars)
         if n == 0:
             return True
         if n < self.min_size:
+            from .. import scalarops
+
+            if isinstance(scalars, _np.ndarray):
+                scalars = scalarops.array_to_ints(scalars)
             return multiscalar_mul(scalars, points).is_identity()
 
         padded = _next_pow2(n)
-        scalars = [s % sc.L for s in scalars] + [0] * (padded - n)
+        scalars = self._pad_scalars(scalars, padded)
         points = list(points) + [IDENTITY] * (padded - n)
         bits = decompose_bits(scalars)
         batch = self._to_device_points(points)
@@ -241,6 +268,128 @@ class Accelerator:
             results.append(sc.from_bytes_mod_order_wide(h.digest()) == sig.e)
         return results
 
+    # -- fused whole-block verification --------------------------------------
+
+    @staticmethod
+    def _round_up(n: int, granule: int = 256) -> int:
+        return max(granule, ((n + granule - 1) // granule) * granule)
+
+    def _fused_check_fn(self, ns: int, nr: int, nk: int):
+        """Build (and cache) the single-dispatch block-check kernel for the
+        padded group sizes (ns, nr, nk): one DAA scan over ALL lanes
+        [sigma | range | sig_s | sig_e], then per-group reduction:
+
+        - sigma group  -> tree-reduce -> is_identity
+        - range group  -> tree-reduce -> is_identity
+        - signatures   -> r_k = acc[s_k] + acc[e_k] -> batched compress
+
+        ONE device call replaces the previous three (sigma MSM, range MSM,
+        signature dual-mul); on tunneled TPUs dispatch overhead dominates
+        small-batch latency, so call count is the first-order cost."""
+        key = (ns, nr, nk)
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
+
+        curve = self.curve
+        engine = self.engine
+
+        def _check(points, bits):
+            acc = engine.msm_daa_lanes(points, bits)  # per-lane accumulators
+            sigma = _tree_reduce_group(curve, acc, 0, ns)
+            rng = _tree_reduce_group(curve, acc, ns, nr)
+            sigma_ok = curve.is_identity(tuple(c[None] for c in sigma))[0]
+            range_ok = curve.is_identity(tuple(c[None] for c in rng))[0]
+            if nk:
+                s_lanes = tuple(c[ns + nr : ns + nr + nk] for c in acc)
+                e_lanes = tuple(c[ns + nr + nk : ns + nr + 2 * nk] for c in acc)
+                r = curve.add(s_lanes, e_lanes)
+                r_bytes = curve.compress(r)
+            else:
+                r_bytes = curve.xp.zeros((0, 32), dtype=curve.xp.uint8)
+            return sigma_ok, range_ok, r_bytes
+
+        if self.backend == "jax":
+            import jax
+
+            fn = jax.jit(_check)
+        else:
+            fn = _check
+        cache[key] = fn
+        return fn
+
+    def fused_block_check(self, sigma, range_, sig_entries):
+        """sigma/range_: (scalars, points) pairs; sig_entries: list of
+        (signature, pubkey_point, pubkey_compressed, message).
+
+        Returns (sigma_ok, range_ok, sig_ok) with ONE device dispatch and
+        ONE host sync."""
+        import hashlib
+
+        from .. import scalars as sc
+        from ..elgamal import H as _H
+
+        sigma_sc, sigma_pts = sigma
+        range_sc, range_pts = range_
+
+        ns = self._round_up(len(sigma_sc))
+        nr = self._round_up(len(range_sc))
+        nk = self._round_up(len(sig_entries), 64) if sig_entries else 0
+
+        def pad_ints(vals, n):
+            if isinstance(vals, _np.ndarray):
+                out = _np.zeros((n, 32), dtype=_np.uint8)
+                out[: vals.shape[0]] = vals
+                return out
+            from .. import scalarops
+
+            out = _np.zeros((n, 32), dtype=_np.uint8)
+            arr = scalarops.ints_to_array([v % sc.L for v in vals])
+            out[: arr.shape[0]] = arr
+            return out
+
+        sig_s = [e[0].s for e in sig_entries]
+        sig_e = [(-e[0].e) % sc.L for e in sig_entries]
+        sig_pts = [e[1].point if hasattr(e[1], "point") else e[1] for e in sig_entries]
+
+        all_scalars = _np.concatenate(
+            [
+                pad_ints(sigma_sc, ns),
+                pad_ints(range_sc, nr),
+                pad_ints(sig_s, nk),
+                pad_ints(sig_e, nk),
+            ]
+        )
+        pts = list(sigma_pts) + [IDENTITY] * (ns - len(sigma_pts))
+        pts += list(range_pts) + [IDENTITY] * (nr - len(range_pts))
+        pts += [_H] * len(sig_entries) + [IDENTITY] * (nk - len(sig_entries))
+        pts += list(sig_pts) + [IDENTITY] * (nk - len(sig_pts))
+
+        bits = decompose_bits(all_scalars)
+        batch = self._to_device_points(pts)
+        if self.backend == "jax":
+            import jax.numpy as jnp
+
+            bits = jnp.asarray(bits)
+
+        fn = self._fused_check_fn(ns, nr, nk)
+        sigma_ok, range_ok, r_bytes = fn(batch, bits)
+
+        r_bytes = _np.asarray(r_bytes)  # host sync happens here, once
+        sig_ok = True
+        for i, (sig, _pt, pk_compressed, message) in enumerate(sig_entries):
+            h = hashlib.sha3_512()
+            h.update(pk_compressed.data)
+            h.update(message)
+            h.update(bytes(r_bytes[i]))
+            if sc.from_bytes_mod_order_wide(h.digest()) != sig.e:
+                sig_ok = False
+                break
+        return bool(sigma_ok), bool(range_ok), sig_ok
+
     # -- batched point utilities (device) ------------------------------------
 
     def decompress_many(self, encodings: list[bytes]):
@@ -265,6 +414,25 @@ class Accelerator:
             RistrettoPoint(*coords[4 * i: 4 * i + 4]) for i in range(n)
         ]
         return points, [bool(v) for v in _np.asarray(valid)[:n]]
+
+    def decompress_many_lazy(self, encodings: list[bytes]):
+        """Batched validating decompression WITHOUT host point
+        materialization: returns ((n, 4, NLIMBS) canonical limb rows,
+        valid flags).  Callers seed the lazy decompress cache; point
+        objects are built on first host access only."""
+        if not encodings:
+            return _np.zeros((0, 4, NLIMBS), dtype=_np.uint32), []
+        n = len(encodings)
+        padded = _next_pow2(n)
+        data = _np.zeros((padded, 32), dtype=_np.uint8)
+        data[:n] = _np.frombuffer(b"".join(encodings), dtype=_np.uint8).reshape(n, 32)
+        if self.backend == "jax":
+            import jax.numpy as jnp
+
+            data = jnp.asarray(data)
+        packed, valid = self._decompress_packed_jit(data)
+        packed = _np.asarray(packed)[:n]
+        return packed, [bool(v) for v in _np.asarray(valid)[:n]]
 
     def compress_many(self, points: list[RistrettoPoint]) -> list[bytes]:
         if not points:

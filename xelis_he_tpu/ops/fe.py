@@ -107,15 +107,32 @@ class Field:
 
     @staticmethod
     def to_ints(a) -> list[int]:
-        arr = _np.asarray(a, dtype=_np.uint64)
-        flat = arr.reshape(-1, NLIMBS)
-        out = []
-        for row in flat:
-            v = 0
-            for k in range(NLIMBS - 1, -1, -1):
-                v = (v << LIMB_BITS) | int(row[k])
-            out.append(v)
-        return out
+        """Canonical limbs -> python ints, vectorized: widen 18x15-bit limbs
+        into a (N, 40)-byte little-endian buffer in numpy, then one
+        ``int.from_bytes`` per element (no per-limb python loop)."""
+        arr = _np.asarray(a, dtype=_np.uint64).reshape(-1, NLIMBS)
+        # limb k contributes at bit 15k = 8*(15k//8) + (15k%8): shift within
+        # a 32-bit window starting at byte offset floor(15k/8)
+        acc = _np.zeros((arr.shape[0], 40), dtype=_np.uint8)
+        buf = _np.zeros((arr.shape[0], 40), dtype=_np.uint64)
+        for k in range(NLIMBS):
+            bit = LIMB_BITS * k
+            byte, sh = bit // 8, bit % 8
+            v = arr[:, k] << sh  # < 2^23
+            buf[:, byte] += v & 0xFF
+            buf[:, byte + 1] += (v >> 8) & 0xFF
+            buf[:, byte + 2] += (v >> 16) & 0xFF
+        # resolve inter-byte carries (values per byte < 2^9 before carry)
+        carry = _np.zeros(arr.shape[0], dtype=_np.uint64)
+        for j in range(40):
+            t = buf[:, j] + carry
+            acc[:, j] = t & 0xFF
+            carry = t >> 8
+        data = acc.tobytes()
+        return [
+            int.from_bytes(data[i * 40 : i * 40 + 40], "little")
+            for i in range(arr.shape[0])
+        ]
 
     def from_bytes_le(self, b):
         """(..., 32) uint8 -> limbs, masking bit 255 (dalek from_bytes)."""

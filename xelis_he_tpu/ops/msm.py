@@ -30,13 +30,17 @@ DEFAULT_WINDOW = 13
 SCALAR_BITS = 256
 
 
-def _scalar_bytes(scalars: list[int]) -> _np.ndarray:
+def _scalar_bytes(scalars) -> _np.ndarray:
+    """list[int] or (N, 32) uint8 array -> (N, 32) uint8 array."""
+    if isinstance(scalars, _np.ndarray):
+        return _np.ascontiguousarray(scalars, dtype=_np.uint8)
     raw = b"".join(s.to_bytes(32, "little") for s in scalars)
     return _np.frombuffer(raw, dtype=_np.uint8).reshape(len(scalars), 32)
 
 
-def decompose_bits(scalars: list[int], n_bits: int = 253) -> _np.ndarray:
-    """(n_bits, N) uint32 bit rows, LSB first (vectorized via unpackbits)."""
+def decompose_bits(scalars, n_bits: int = 253) -> _np.ndarray:
+    """(n_bits, N) uint32 bit rows, LSB first (vectorized via unpackbits).
+    ``scalars``: list[int] or (N, 32)-byte canonical array."""
     bits = _np.unpackbits(_scalar_bytes(scalars), axis=1, bitorder="little")
     return _np.ascontiguousarray(bits[:, :n_bits].T).astype(_np.uint32)
 
@@ -90,11 +94,10 @@ def _inclusive_scan(curve: Curve, flags, pts, use_jax: bool):
 def _tree_reduce(curve: Curve, pts, n: int, use_jax: bool = False):
     """Pairwise-add reduction of the leading axis (identity-padded).
 
-    The jax path keeps array sizes CONSTANT and loops log2(n) times with a
-    dynamic roll — one copy of the add graph total, so compile time does not
-    scale with n (an unrolled halving tree made XLA compile superlinearly).
-    Lanes >= n/2^k hold garbage at level k but are never read by later
-    levels, so no masking is needed.
+    Work-efficient: shapes HALVE each level (total adds ~= n, not n*log n),
+    with a chunked reshape so the unrolled graph stays small.  Each step
+    folds the top half onto the bottom half; odd sizes park the middle lane
+    and fold it in at the end.
     """
     xp = curve.xp
     size = 1
@@ -103,20 +106,6 @@ def _tree_reduce(curve: Curve, pts, n: int, use_jax: bool = False):
     if size != n:
         pad = curve.identity((size - n,))
         pts = tuple(xp.concatenate([c, p], axis=0) for c, p in zip(pts, pad))
-
-    if use_jax and size > 1:
-        import jax.numpy as jnp
-        from jax import lax
-
-        levels = size.bit_length() - 1
-
-        def body(k, x):
-            half = size >> (k + 1)
-            shifted = tuple(jnp.roll(c, -half, axis=0) for c in x)
-            return curve.add(x, shifted)
-
-        pts = lax.fori_loop(0, levels, body, pts)
-        return tuple(c[0] for c in pts)
 
     while size > 1:
         half = size // 2
@@ -196,13 +185,9 @@ class MsmEngine:
 
     # -- bit-serial double-and-add MSM (small graph, scan over 253 bits) ----
 
-    def msm_daa(self, points, bits):
-        """MSM via per-lane double-and-add + pairwise tree reduction.
-
-        ``bits``: (n_bits, N) uint32/bool, LSB first.  Compared to Pippenger
-        this does more arithmetic but compiles to a tiny lax.scan graph and
-        vectorizes perfectly over lanes — the robust default on TPU.
-        """
+    def msm_daa_lanes(self, points, bits):
+        """Per-lane double-and-add WITHOUT the final reduction: returns the
+        (N,)-batch acc_i = s_i * P_i.  ``bits``: (n_bits, N), LSB first."""
         curve = self.curve
         N = bits.shape[1]
 
@@ -216,12 +201,22 @@ class MsmEngine:
                 return (acc, base), None
 
             (acc, _), _ = lax.scan(body, (curve.identity((N,)), points), bits)
-        else:
-            acc, base = curve.identity((N,)), points
-            for row in bits:
-                acc = curve.select(row.astype(bool), curve.add(acc, base), acc)
-                base = curve.double(base)
-        return _tree_reduce(curve, acc, N, self.use_jax)
+            return acc
+
+        acc, base = curve.identity((N,)), points
+        for row in bits:
+            acc = curve.select(row.astype(bool), curve.add(acc, base), acc)
+            base = curve.double(base)
+        return acc
+
+    def msm_daa(self, points, bits):
+        """MSM via per-lane double-and-add + pairwise tree reduction.
+
+        Compared to Pippenger this does more arithmetic but compiles to a
+        tiny lax.scan graph and vectorizes perfectly over lanes — the robust
+        default on TPU."""
+        acc = self.msm_daa_lanes(points, bits)
+        return _tree_reduce(self.curve, acc, bits.shape[1], self.use_jax)
 
     def batch_dual_mul(self, P_batch, bits_a, bits_b, q_table):
         """Per-lane r_i = a_i*Q + b_i*P_i with a SHARED base Q.

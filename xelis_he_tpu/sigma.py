@@ -55,7 +55,12 @@ class BatchCollector:
     def verify_deferred(self, msm_check):
         """Dispatch the identity check via ``msm_check`` (e.g. the
         accelerator's device-side predicate) without blocking."""
-        return msm_check(
+        return msm_check(*self.msm_inputs())
+
+    def msm_inputs(self):
+        """The collector's full (scalars, points) MSM input including the
+        shared G/H slots."""
+        return (
             self.dynamic_scalars + [self.g_scalar % scalars.L, self.h_scalar % scalars.L],
             self.dynamic_points + [G, H],
         )

@@ -48,7 +48,7 @@ class GetBlockchainAccountBalance(Protocol):
 
     def get_account_balance(self, asset: Hash) -> int: ...
 
-    def get_account_ct(self, asset: Hash): ...  # -> CompressedCiphertext
+    def get_account_ct(self, asset: Hash): ...  # -> ElGamalCiphertext (decompressed)
 
 
 @dataclass
@@ -250,7 +250,7 @@ class TransactionBuilder:
         ):
             new_source_opening = PedersenOpening(new_source_opening_scalar)
 
-            source_current_ciphertext = state.get_account_ct(asset).decompress()
+            source_current_ciphertext = state.get_account_ct(asset)
 
             new_source_commitment = PedersenCommitment.new_with_opening(
                 source_new_balance, new_source_opening

@@ -187,7 +187,7 @@ def pre_verify(
     ):
         source_current_ciphertext = state.get_account_balance(
             tx.source, commitment.asset, Role.SENDER
-        ).decompress()
+        )
 
         output = _get_sender_output_ct(tx, commitment.asset, transfers_decompressed)
         new_ct = source_current_ciphertext - output
@@ -204,7 +204,7 @@ def pre_verify(
             sigma_batch_collector,
         )
 
-        state.update_account_balance(tx.source, commitment.asset, new_ct.compress(), Role.SENDER)
+        state.update_account_balance(tx.source, commitment.asset, new_ct, Role.SENDER)
         state.set_output_ciphertext(tx.source, commitment.asset, output)
 
     # 2. CiphertextValidityProofs / burn / multisig payload (verify.rs:343-430)
@@ -215,13 +215,13 @@ def pre_verify(
 
             current_balance = state.get_account_balance(
                 transfer.dest_pubkey, transfer.asset, Role.RECEIVER
-            ).decompress()
+            )
             receiver_ct = decompressed.get_ciphertext(Role.RECEIVER)
             receiver_new_balance = current_balance + receiver_ct
             state.update_account_balance(
                 transfer.dest_pubkey,
                 transfer.asset,
-                receiver_new_balance.compress(),
+                receiver_new_balance,
                 Role.RECEIVER,
             )
 
@@ -314,7 +314,7 @@ def verify_batch(
     multisig) is verified in one fused device call, and both mega-MSMs run
     on the device."""
     from ..metrics import metrics, span
-    from ..types import clear_decompress_cache, seed_decompress_cache
+    from ..types import clear_decompress_cache, seed_decompress_cache_lazy
 
     metrics.incr("verify_batch.txs", len(txs))
     sig_entries = None
@@ -324,9 +324,9 @@ def verify_batch(
         sig_entries = []
         with span("verify_batch.decompress"):
             encodings = _collect_compressed(txs)
-            points, valid = accel.decompress_many(encodings)
-            seed_decompress_cache(
-                {e: p for e, p, ok in zip(encodings, points, valid) if ok}
+            rows, valid = accel.decompress_many_lazy(encodings)
+            seed_decompress_cache_lazy(
+                {e: r for e, r, ok in zip(encodings, rows, valid) if ok}
             )
         metrics.incr("verify_batch.decompressed_points", len(encodings))
         seeded = True
@@ -346,22 +346,35 @@ def verify_batch(
             for tx, (transcript, commitments) in zip(txs, prepared)
         ]
         if accel is not None:
-            # dispatch all three device checks, then sync the host ONCE
+            # ONE fused device dispatch: sigma MSM + range mega-MSM +
+            # every Schnorr signature, one host sync
+            with span("verify_batch.range_fold"):
+                range_inputs = {"sc": [], "pts": []}
+
+                def _capture(scalars, points):
+                    range_inputs["sc"] = scalars
+                    range_inputs["pts"] = points
+                    return None
+
+                RangeProof.verify_batch(views, BP_GENS, PC_GENS, msm_check=_capture)
+                sigma_sc, sigma_pts = sigma_batch_collector.msm_inputs()
+            metrics.incr(
+                "verify_batch.sigma_msm_points", len(sigma_sc)
+            )
+            metrics.incr(
+                "verify_batch.range_msm_points", len(range_inputs["sc"])
+            )
             with span("verify_batch.device_checks"):
-                sigma_ok = sigma_batch_collector.verify_deferred(accel.msm_check)
-                metrics.incr(
-                    "verify_batch.sigma_msm_points",
-                    len(sigma_batch_collector.dynamic_scalars) + 2,
+                sigma_ok, range_ok, sigs_ok = accel.fused_block_check(
+                    (sigma_sc, sigma_pts),
+                    (range_inputs["sc"], range_inputs["pts"]),
+                    sig_entries,
                 )
-                range_ok = RangeProof.verify_batch(
-                    views, BP_GENS, PC_GENS, msm_check=accel.msm_check
-                )
-                sigs_ok = all(accel.verify_signatures(sig_entries))
             if not sigs_ok:
                 raise ProofVerificationError("signature")
-            if not bool(sigma_ok):
+            if not sigma_ok:
                 raise ProofVerificationError("generic_proof", "sigma batch")
-            if not bool(range_ok):
+            if not range_ok:
                 raise ProofVerificationError("range_proof", "batch verification equation")
         else:
             if not sigma_batch_collector.verify():
@@ -390,10 +403,10 @@ def apply_without_verify(tx: Transaction, state: BlockchainVerificationState) ->
 
     for commitment in tx.new_source_commitments:
         asset = commitment.asset
-        current = state.get_account_balance(tx.source, asset, Role.SENDER).decompress()
+        current = state.get_account_balance(tx.source, asset, Role.SENDER)
         output = _get_sender_output_ct(tx, asset, transfers_decompressed)
         new_ct = current - output
-        state.update_account_balance(tx.source, asset, new_ct.compress(), Role.SENDER)
+        state.update_account_balance(tx.source, asset, new_ct, Role.SENDER)
         state.set_output_ciphertext(tx.source, asset, output)
 
     data = tx.data
@@ -401,12 +414,12 @@ def apply_without_verify(tx: Transaction, state: BlockchainVerificationState) ->
         for transfer, decompressed in zip(data, transfers_decompressed):
             current = state.get_account_balance(
                 transfer.dest_pubkey, transfer.asset, Role.RECEIVER
-            ).decompress()
+            )
             receiver_new_balance = current + decompressed.get_ciphertext(Role.RECEIVER)
             state.update_account_balance(
                 transfer.dest_pubkey,
                 transfer.asset,
-                receiver_new_balance.compress(),
+                receiver_new_balance,
                 Role.RECEIVER,
             )
     elif isinstance(data, MultiSigPayload):

@@ -58,18 +58,38 @@ NATIVE_ASSET = Hash()
 # point.
 _DECOMPRESS_CACHE: dict[bytes, RistrettoPoint] = {}
 
+# Lazy tier: encoding -> (4, NLIMBS) canonical limb row from the batched
+# device decompression.  Python point objects are only materialized for
+# encodings the host actually touches (most points are pure MSM inputs).
+_LAZY_CACHE: dict[bytes, object] = {}
+
 
 def seed_decompress_cache(mapping: dict[bytes, RistrettoPoint]) -> None:
     _DECOMPRESS_CACHE.update(mapping)
 
 
+def seed_decompress_cache_lazy(mapping: dict[bytes, object]) -> None:
+    """mapping: encoding -> (4, NLIMBS) canonical uint32 limb row."""
+    _LAZY_CACHE.update(mapping)
+
+
 def clear_decompress_cache() -> None:
     _DECOMPRESS_CACHE.clear()
+    _LAZY_CACHE.clear()
 
 
 def _decompress_point(data: bytes) -> RistrettoPoint:
     pt = _DECOMPRESS_CACHE.get(data)
     if pt is not None:
+        return pt
+    row = _LAZY_CACHE.get(data)
+    if row is not None:
+        coords = [
+            sum(int(v) << (15 * k) for k, v in enumerate(limbs))
+            for limbs in row.tolist()
+        ]
+        pt = RistrettoPoint(*coords)
+        _DECOMPRESS_CACHE[data] = pt
         return pt
     pt = RistrettoPoint.decompress(data)
     if pt is None:
