@@ -7,3 +7,22 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    # Persistent XLA compile cache: kernel compiles dominate test wall-time
+    # otherwise (the Accelerator enables this too, but many tests call the
+    # kernels directly).
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "XELIS_HE_TPU_JAXCACHE",
+                os.path.expanduser("~/.cache/xelis_he_tpu/jaxcache"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass

@@ -297,6 +297,7 @@ class RangeProof:
         views = list(views)
         if not views:
             return True if msm_check is not None else None
+        device = msm_check is not None
         max_nm = 0
         dyn_scalars: list[int] = []
         dyn_points: list[RistrettoPoint] = []
@@ -317,7 +318,18 @@ class RangeProof:
             )
             for sc, pb in zip(dyn_sc, dyn_pts_b):
                 dyn_scalars.append(sc * rho % L)
-                dyn_points.append(_decompress_cached(pb))
+                if device:
+                    # device path: keep validated encodings as bytes — the
+                    # accelerator gathers their limbs from the block's fused
+                    # decompression without host point construction
+                    from ..types import is_cached_valid
+
+                    if is_cached_valid(pb):
+                        dyn_points.append(pb)
+                    else:
+                        dyn_points.append(_decompress_cached(pb))
+                else:
+                    dyn_points.append(_decompress_cached(pb))
             scalarops.axpy_(g_acc[:nm], g, rho)
             scalarops.axpy_(h_acc[:nm], h, rho)
             b_acc = (b_acc + b_sc * rho) % L
@@ -327,14 +339,21 @@ class RangeProof:
         scalars_all = np.concatenate(
             [scalarops.ints_to_array(dyn_scalars + [b_acc, bb_acc]), g_acc, h_acc]
         )
+        if msm_check is not None:
+            # shared generators ride a marker the accelerator expands from
+            # its device-resident generator cache
+            points_all = (
+                dyn_points
+                + [pc_gens.B, pc_gens.B_blinding]
+                + [("__bp_gens__", n, max_nm // n)]
+            )
+            return msm_check(scalars_all, points_all)
         points_all = (
             dyn_points
             + [pc_gens.B, pc_gens.B_blinding]
             + bp_gens.G(n, max_nm // n)
             + bp_gens.H(n, max_nm // n)
         )
-        if msm_check is not None:
-            return msm_check(scalars_all, points_all)
         if not msm(scalarops.array_to_ints(scalars_all), points_all).is_identity():
             raise ProofVerificationError("range_proof", "batch verification equation")
 

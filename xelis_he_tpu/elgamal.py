@@ -86,10 +86,14 @@ class PedersenOpening:
 
 
 class PedersenCommitment:
-    __slots__ = ("point",)
+    # ``compressed`` carries the 32-byte origin encoding when this object
+    # came from a validated decompression (types.py) — the accelerator uses
+    # it to gather the point's limbs on-device instead of re-uploading.
+    __slots__ = ("point", "compressed")
 
-    def __init__(self, point: RistrettoPoint):
+    def __init__(self, point: RistrettoPoint, compressed: bytes | None = None):
         self.point = point
+        self.compressed = compressed
 
     @staticmethod
     def new(amount: int) -> tuple["PedersenCommitment", PedersenOpening]:
@@ -116,10 +120,11 @@ class PedersenCommitment:
 
 
 class DecryptHandle:
-    __slots__ = ("point",)
+    __slots__ = ("point", "compressed")
 
-    def __init__(self, point: RistrettoPoint):
+    def __init__(self, point: RistrettoPoint, compressed: bytes | None = None):
         self.point = point
+        self.compressed = compressed
 
     @staticmethod
     def new(public: "ElGamalPubkey", opening: PedersenOpening) -> "DecryptHandle":
@@ -208,10 +213,11 @@ class ECDLPInstance:
 
 
 class ElGamalPubkey:
-    __slots__ = ("point",)
+    __slots__ = ("point", "compressed")
 
-    def __init__(self, point: RistrettoPoint):
+    def __init__(self, point: RistrettoPoint, compressed: bytes | None = None):
         self.point = point
+        self.compressed = compressed
 
     @staticmethod
     def from_secret(secret: "ElGamalSecretKey") -> "ElGamalPubkey":

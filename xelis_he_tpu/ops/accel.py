@@ -53,7 +53,7 @@ def _tree_reduce_group(curve: Curve, acc, start: int, count: int):
 class Accelerator:
     """Fused-MSM executor on the batched limb engine."""
 
-    def __init__(self, backend: str = "jax", min_size: int = 16):
+    def __init__(self, backend: str = "jax", min_size: int = 16, use_pallas: bool | None = None):
         self.backend = backend
         # below this size the pure-Python Pippenger beats kernel dispatch
         self.min_size = min_size
@@ -62,26 +62,50 @@ class Accelerator:
             import jax
 
             self._jax = jax
+            if use_pallas is None:
+                env = os.environ.get("XELIS_HE_TPU_PALLAS")
+                if env is not None:
+                    use_pallas = env not in ("0", "false", "")
+                else:
+                    # the Mosaic kernel targets real TPUs; CPU tests keep the
+                    # jnp engine (interpret mode is too slow for real sizes)
+                    use_pallas = jax.default_backend() == "tpu"
+            self.use_pallas = bool(use_pallas)
             self.curve: Curve = jax_curve()
             self.engine = MsmEngine(self.curve, use_jax=True)
-            self._msm_daa_jit = jax.jit(self.engine.msm_daa)
-            self._compress_jit = jax.jit(self.curve.compress)
+            self._msm_daa_jit = jax.jit(self._msm_daa_fn())
             self._dual_mul_jit = jax.jit(self.engine.batch_dual_mul)
 
             curve = self.curve
 
-            def _decompress_packed(data):
-                # decompress + canonicalize + pack coords into ONE array so a
-                # single host pull moves the whole result (device->host
-                # transfers are expensive on tunneled TPUs)
-                pts, valid = curve.decompress(data)
-                packed = curve.xp.stack(
-                    [curve.fe.canon(c) for c in pts], axis=1
-                )  # (N, 4, NLIMBS)
-                return packed, valid
+            if self.use_pallas:
+                from .pallas_msm import compress_pallas, decompress_pallas
 
-            self._decompress_packed_jit = jax.jit(_decompress_packed)
+                self._compress_jit = jax.jit(compress_pallas)
+
+                def _decompress_packed_pl(data):
+                    # kernel emits canonical coords already
+                    pts, valid = decompress_pallas(data)
+                    packed = curve.xp.stack(pts, axis=1)  # (N, 4, NLIMBS)
+                    return packed, valid
+
+                self._decompress_packed_jit = jax.jit(_decompress_packed_pl)
+            else:
+                self._compress_jit = jax.jit(self.curve.compress)
+
+                def _decompress_packed(data):
+                    # decompress + canonicalize + pack coords into ONE array
+                    # so a single host pull moves the whole result
+                    # (device->host transfers are expensive on tunneled TPUs)
+                    pts, valid = curve.decompress(data)
+                    packed = curve.xp.stack(
+                        [curve.fe.canon(c) for c in pts], axis=1
+                    )  # (N, 4, NLIMBS)
+                    return packed, valid
+
+                self._decompress_packed_jit = jax.jit(_decompress_packed)
         else:
+            self.use_pallas = False
             self.curve = numpy_curve()
             self.engine = MsmEngine(self.curve, use_jax=False)
             self._msm_daa_jit = self.engine.msm_daa
@@ -94,6 +118,52 @@ class Accelerator:
                 return packed, valid
 
             self._decompress_packed_jit = _decompress_packed_np
+
+    # -- kernel plumbing -----------------------------------------------------
+
+    def _lanes_fn(self):
+        """Per-lane s_i*P_i: the windowed Pallas kernel on TPU (4-bit signed
+        digits, ~1.6x the binary kernel), jnp scan elsewhere."""
+        if self.use_pallas:
+            from .pallas_msm import msm_windowed_lanes_pallas
+
+            return msm_windowed_lanes_pallas
+        return self.engine.msm_daa_lanes
+
+    def _bits_for(self, scalars):
+        """Scalar digit/bit tensor in the layout the lanes fn expects."""
+        if self.use_pallas:
+            from .pallas_msm import recode_signed4
+
+            return recode_signed4(scalars)
+        return decompose_bits(scalars)
+
+    def _msm_daa_fn(self):
+        """(points, bits) -> single reduced point (jit-able)."""
+        from .msm import _tree_reduce
+
+        curve = self.curve
+        lanes = self._lanes_fn()
+        use_pallas = self.use_pallas
+
+        def _msm_daa(points, bits):
+            acc = lanes(points, bits)
+            if use_pallas:
+                from .pallas_msm import tile_sums_pallas
+
+                acc = tile_sums_pallas(acc)  # one lane per tile
+            return _tree_reduce(curve, acc, acc[0].shape[0], True)
+
+        return _msm_daa
+
+    def _lane_granule(self, n: int) -> int:
+        """Pad lane counts so the Pallas grid divides evenly (TILE lanes per
+        program); the jnp engine only needs powers of two."""
+        if self.use_pallas:
+            from .pallas_msm import TILE
+
+            return max(128, ((n + TILE - 1) // TILE) * TILE) if n > 128 else 128
+        return _next_pow2(n)
 
     # -- conversions --------------------------------------------------------
 
@@ -135,11 +205,11 @@ class Accelerator:
                 scalars = scalarops.array_to_ints(scalars)
             return multiscalar_mul(scalars, points)
 
-        padded = _next_pow2(n)
+        padded = self._lane_granule(n)
         scalars = self._pad_scalars(scalars, padded)
         points = list(points) + [IDENTITY] * (padded - n)
 
-        bits = decompose_bits(scalars)
+        bits = self._bits_for(scalars)
         batch = self._to_device_points(points)
         if self.backend == "jax":
             import jax.numpy as jnp
@@ -164,10 +234,10 @@ class Accelerator:
                 scalars = scalarops.array_to_ints(scalars)
             return multiscalar_mul(scalars, points).is_identity()
 
-        padded = _next_pow2(n)
+        padded = self._lane_granule(n)
         scalars = self._pad_scalars(scalars, padded)
         points = list(points) + [IDENTITY] * (padded - n)
-        bits = decompose_bits(scalars)
+        bits = self._bits_for(scalars)
         batch = self._to_device_points(points)
         if self.backend == "jax":
             import jax.numpy as jnp
@@ -175,10 +245,10 @@ class Accelerator:
             bits = jnp.asarray(bits)
         if getattr(self, "_msm_check_jit", None) is None:
             curve = self.curve
-            engine = self.engine
+            msm_daa = self._msm_daa_fn()
 
             def _check(pts, bits):
-                res = engine.msm_daa(pts, bits)
+                res = msm_daa(pts, bits)
                 return curve.is_identity(tuple(c[None] for c in res))[0]
 
             if self.backend == "jax":
@@ -244,9 +314,16 @@ class Accelerator:
             return []
         n = len(entries)
         padded = max(_next_pow2(n), self.min_size)
+        from ..types import _decompress_point
+
+        def as_point(p):
+            if isinstance(p, (bytes, bytearray)):
+                return _decompress_point(bytes(p))
+            return p.point if hasattr(p, "point") else p
+
         s_list = [e[0].s for e in entries] + [0] * (padded - n)
         e_neg = [(-e[0].e) % sc.L for e in entries] + [0] * (padded - n)
-        pts = [e[1].point if hasattr(e[1], "point") else e[1] for e in entries]
+        pts = [as_point(e[1]) for e in entries]
         pts = pts + [IDENTITY] * (padded - n)
 
         bits_s = decompose_bits(s_list)
@@ -274,19 +351,118 @@ class Accelerator:
     def _round_up(n: int, granule: int = 256) -> int:
         return max(granule, ((n + granule - 1) // granule) * granule)
 
-    def _fused_check_fn(self, ns: int, nr: int, nk: int):
-        """Build (and cache) the single-dispatch block-check kernel for the
-        padded group sizes (ns, nr, nk): one DAA scan over ALL lanes
-        [sigma | range | sig_s | sig_e], then per-group reduction:
+    # -- block context: device-resident decompressed rows ---------------------
 
-        - sigma group  -> tree-reduce -> is_identity
-        - range group  -> tree-reduce -> is_identity
+    def begin_block(self, encodings: list[bytes]):
+        """Decompress every encoding of a block in one fused device call and
+        keep the canonical limb rows ON DEVICE; MSM point inputs are later
+        gathered from this array by index (no host point construction, no
+        re-upload).  Returns (rows, valid) like decompress_many_lazy for
+        host-side cache seeding."""
+        if not encodings:
+            self._block_rows = None
+            self._block_index = {}
+            return _np.zeros((0, 4, NLIMBS), dtype=_np.uint32), []
+        n = len(encodings)
+        padded = self._lane_granule(n)
+        data = _np.zeros((padded, 32), dtype=_np.uint8)
+        data[:n] = _np.frombuffer(b"".join(encodings), dtype=_np.uint8).reshape(n, 32)
+        if self.backend == "jax":
+            import jax.numpy as jnp
+
+            data = jnp.asarray(data)
+        packed, valid = self._decompress_packed_jit(data)
+        self._block_rows = packed  # (padded, 4, NLIMBS), device-resident
+        rows_np = _np.asarray(packed)[:n]
+        valid_np = [bool(v) for v in _np.asarray(valid)[:n]]
+        self._block_index = {
+            e: i for i, (e, ok) in enumerate(zip(encodings, valid_np)) if ok
+        }
+        return rows_np, valid_np
+
+    def end_block(self):
+        self._block_rows = None
+        self._block_index = {}
+
+    def _gens_rows(self, n_bits: int, m: int):
+        """Device-resident (2*n*m, 4, NLIMBS) rows of the shared Bulletproof
+        generators G_vec || H_vec (built once per aggregation size)."""
+        cache = getattr(self, "_gens_cache", None)
+        if cache is None:
+            cache = self._gens_cache = {}
+        key = (n_bits, m)
+        rows = cache.get(key)
+        if rows is None:
+            from ..bulletproofs.generators import BP_GENS
+
+            pts = BP_GENS.G(n_bits, m) + BP_GENS.H(n_bits, m)
+            rows = self._points_to_rows(pts)
+            if self.backend == "jax":
+                import jax.numpy as jnp
+
+                rows = jnp.asarray(rows)
+            cache[key] = rows
+        return rows
+
+    def _points_to_rows(self, points: list[RistrettoPoint]) -> _np.ndarray:
+        """(len, 4, NLIMBS) uint32 limb rows from host point objects."""
+        from .fe import numpy_field
+
+        fe = numpy_field()
+        coords = []
+        for p in points:
+            coords.extend((p.X, p.Y, p.Z, p.T))
+        rows = fe.from_ints(coords)  # (4*len, NLIMBS), vectorized
+        return rows.reshape(len(points), 4, NLIMBS)
+
+    def _resolve_lane_points(self, pts, lane_total: int, m_block: int, k_gens: int, extras):
+        """Mixed point list -> lane->row index list (appended extras shared).
+
+        Entries: 32-byte encodings (gathered from the block's device rows),
+        ("__bp_gens__", n, m) markers (expand to the generator cache), or
+        host RistrettoPoint objects (uploaded as extra rows).  ``extras``
+        must start with the identity point (used for lane padding).
+        Unresolved / never-decompressed encodings fall back to host
+        decompression (which raises on invalid data, preserving reference
+        error behavior)."""
+        from ..types import _decompress_point
+
+        block_index = getattr(self, "_block_index", {}) or {}
+        idx: list[int] = []
+        extra_base = m_block + k_gens
+        for p in pts:
+            if isinstance(p, (bytes, bytearray)):
+                i = block_index.get(bytes(p))
+                if i is not None:
+                    idx.append(i)
+                else:
+                    extras.append(_decompress_point(bytes(p)))
+                    idx.append(extra_base + len(extras) - 1)
+            elif isinstance(p, tuple) and p and p[0] == "__bp_gens__":
+                _, nb, m = p
+                idx.extend(range(m_block, m_block + 2 * nb * m))
+            else:
+                extras.append(p)
+                idx.append(extra_base + len(extras) - 1)
+        assert len(idx) <= lane_total, f"{len(idx)} lanes > {lane_total}"
+        idx.extend([extra_base] * (lane_total - len(idx)))  # identity padding
+        return idx
+
+    def _fused_check_fn(self, ns: int, nr: int, nk: int, m_block: int, k_gens: int, e_pad: int):
+        """Build (and cache) the single-dispatch block-check kernel.
+
+        Points arrive as a gather: all_rows = [block | gens | extras] is
+        concatenated on device and indexed by a lane->row map, then one
+        windowed MSM kernel runs over ALL lanes [sigma | range | sig_s |
+        sig_e], followed by per-group reduction:
+
+        - sigma group  -> in-VMEM tile reduce -> is_identity
+        - range group  -> in-VMEM tile reduce -> is_identity
         - signatures   -> r_k = acc[s_k] + acc[e_k] -> batched compress
 
-        ONE device call replaces the previous three (sigma MSM, range MSM,
-        signature dual-mul); on tunneled TPUs dispatch overhead dominates
-        small-batch latency, so call count is the first-order cost."""
-        key = (ns, nr, nk)
+        Everything lands in ONE packed uint8 output so the caller costs a
+        single host sync."""
+        key = (ns, nr, nk, m_block, k_gens, e_pad)
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
@@ -295,22 +471,50 @@ class Accelerator:
             return fn
 
         curve = self.curve
-        engine = self.engine
+        lanes_fn = self._lanes_fn()
+        use_pallas = self.use_pallas
 
-        def _check(points, bits):
-            acc = engine.msm_daa_lanes(points, bits)  # per-lane accumulators
-            sigma = _tree_reduce_group(curve, acc, 0, ns)
-            rng = _tree_reduce_group(curve, acc, ns, nr)
+        def _check(block_rows, gens_rows, extra_rows, idx, bits):
+            xp = curve.xp
+            all_rows = xp.concatenate([block_rows, gens_rows, extra_rows], axis=0)
+            rows = all_rows[idx]  # (N, 4, NLIMBS) one gather
+            points = tuple(rows[:, c, :] for c in range(4))
+            acc = lanes_fn(points, bits)  # per-lane accumulators
+            if use_pallas:
+                # sigma/range group sums: in-VMEM tile reduction, then a tiny
+                # cross-tile fold (n_tiles lanes)
+                from .pallas_msm import TILE, tile_sums_pallas
+
+                sums = tile_sums_pallas(tuple(c[: ns + nr] for c in acc))
+                sigma = _tree_reduce_group(curve, sums, 0, ns // TILE)
+                rng = _tree_reduce_group(curve, sums, ns // TILE, nr // TILE)
+            else:
+                sigma = _tree_reduce_group(curve, acc, 0, ns)
+                rng = _tree_reduce_group(curve, acc, ns, nr)
             sigma_ok = curve.is_identity(tuple(c[None] for c in sigma))[0]
             range_ok = curve.is_identity(tuple(c[None] for c in rng))[0]
             if nk:
                 s_lanes = tuple(c[ns + nr : ns + nr + nk] for c in acc)
                 e_lanes = tuple(c[ns + nr + nk : ns + nr + 2 * nk] for c in acc)
                 r = curve.add(s_lanes, e_lanes)
-                r_bytes = curve.compress(r)
+                if use_pallas:
+                    from .pallas_msm import compress_pallas
+
+                    r_bytes = compress_pallas(r)
+                else:
+                    r_bytes = curve.compress(r)
             else:
-                r_bytes = curve.xp.zeros((0, 32), dtype=curve.xp.uint8)
-            return sigma_ok, range_ok, r_bytes
+                r_bytes = xp.zeros((0, 32), dtype=xp.uint8)
+            # pack everything into ONE array so the caller needs a single
+            # device->host pull (each sync over a tunneled TPU costs ~20ms)
+            flags = xp.concatenate(
+                [
+                    sigma_ok[None].astype(xp.uint8),
+                    range_ok[None].astype(xp.uint8),
+                    xp.zeros((30,), dtype=xp.uint8),
+                ]
+            )[None, :]
+            return xp.concatenate([flags, r_bytes], axis=0)
 
         if self.backend == "jax":
             import jax
@@ -322,8 +526,10 @@ class Accelerator:
         return fn
 
     def fused_block_check(self, sigma, range_, sig_entries):
-        """sigma/range_: (scalars, points) pairs; sig_entries: list of
-        (signature, pubkey_point, pubkey_compressed, message).
+        """sigma/range_: (scalars, points) pairs where points may be
+        32-byte encodings (block-decompressed), host RistrettoPoints, or a
+        ("__bp_gens__", n, m) generator marker; sig_entries: list of
+        (signature, pubkey_point_or_bytes, pubkey_compressed, message).
 
         Returns (sigma_ok, range_ok, sig_ok) with ONE device dispatch and
         ONE host sync."""
@@ -335,9 +541,17 @@ class Accelerator:
         sigma_sc, sigma_pts = sigma
         range_sc, range_pts = range_
 
-        ns = self._round_up(len(sigma_sc))
-        nr = self._round_up(len(range_sc))
-        nk = self._round_up(len(sig_entries), 64) if sig_entries else 0
+        if self.use_pallas:
+            # total lane count must divide into TILE-lane kernel programs
+            from .pallas_msm import TILE
+
+            ns = self._round_up(len(sigma_sc), TILE)
+            nr = self._round_up(len(range_sc), TILE)
+            nk = self._round_up(len(sig_entries), TILE // 2) if sig_entries else 0
+        else:
+            ns = self._round_up(len(sigma_sc))
+            nr = self._round_up(len(range_sc))
+            nk = self._round_up(len(sig_entries), 64) if sig_entries else 0
 
         def pad_ints(vals, n):
             if isinstance(vals, _np.ndarray):
@@ -353,7 +567,11 @@ class Accelerator:
 
         sig_s = [e[0].s for e in sig_entries]
         sig_e = [(-e[0].e) % sc.L for e in sig_entries]
-        sig_pts = [e[1].point if hasattr(e[1], "point") else e[1] for e in sig_entries]
+        sig_pts = [
+            e[1] if isinstance(e[1], (bytes, bytearray)) or not hasattr(e[1], "point")
+            else e[1].point
+            for e in sig_entries
+        ]
 
         all_scalars = _np.concatenate(
             [
@@ -363,22 +581,60 @@ class Accelerator:
                 pad_ints(sig_e, nk),
             ]
         )
-        pts = list(sigma_pts) + [IDENTITY] * (ns - len(sigma_pts))
-        pts += list(range_pts) + [IDENTITY] * (nr - len(range_pts))
-        pts += [_H] * len(sig_entries) + [IDENTITY] * (nk - len(sig_entries))
-        pts += list(sig_pts) + [IDENTITY] * (nk - len(sig_pts))
 
-        bits = decompose_bits(all_scalars)
-        batch = self._to_device_points(pts)
+        # gens marker bookkeeping: K rows live between block rows and extras
+        k_gens = 0
+        gens_rows = None
+        for p in range_pts:
+            if isinstance(p, tuple) and p and p[0] == "__bp_gens__":
+                _, nb, m = p
+                gens_rows = self._gens_rows(nb, m)
+                k_gens = int(gens_rows.shape[0])
+                break
+
+        block_rows = getattr(self, "_block_rows", None)
+        m_block = int(block_rows.shape[0]) if block_rows is not None else 0
+
+        # resolve each group separately so identity-padding lands per group
+        extras_all: list[RistrettoPoint] = [IDENTITY]
+        idx: list[int] = []
+        for group_pts, group_total in (
+            (list(sigma_pts), ns),
+            (list(range_pts), nr),
+            ([_H] * len(sig_entries), nk),
+            (list(sig_pts), nk),
+        ):
+            idx.extend(
+                self._resolve_lane_points(
+                    group_pts, group_total, m_block, k_gens, extras_all
+                )
+            )
+
+        e_pad = self._round_up(len(extras_all), 64)
+        extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
+        extra_rows[: len(extras_all)] = self._points_to_rows(extras_all)
+
+        idx_arr = _np.asarray(idx, dtype=_np.int32)
+        bits = self._bits_for(all_scalars)
+        if block_rows is None:
+            block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
+        if gens_rows is None:
+            gens_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
         if self.backend == "jax":
             import jax.numpy as jnp
 
             bits = jnp.asarray(bits)
+            idx_arr = jnp.asarray(idx_arr)
+            extra_rows = jnp.asarray(extra_rows)
+            block_rows = jnp.asarray(block_rows)
+            gens_rows = jnp.asarray(gens_rows)
 
-        fn = self._fused_check_fn(ns, nr, nk)
-        sigma_ok, range_ok, r_bytes = fn(batch, bits)
-
-        r_bytes = _np.asarray(r_bytes)  # host sync happens here, once
+        fn = self._fused_check_fn(ns, nr, nk, m_block, k_gens, e_pad)
+        out = _np.asarray(
+            fn(block_rows, gens_rows, extra_rows, idx_arr, bits)
+        )  # host sync happens here, once
+        sigma_ok, range_ok = bool(out[0, 0]), bool(out[0, 1])
+        r_bytes = out[1:]
         sig_ok = True
         for i, (sig, _pt, pk_compressed, message) in enumerate(sig_entries):
             h = hashlib.sha3_512()
@@ -398,7 +654,7 @@ class Accelerator:
         if not encodings:
             return [], []
         n = len(encodings)
-        padded = _next_pow2(n)
+        padded = self._lane_granule(n)
         data = _np.zeros((padded, 32), dtype=_np.uint8)
         data[:n] = _np.frombuffer(b"".join(encodings), dtype=_np.uint8).reshape(n, 32)
         if self.backend == "jax":
@@ -423,7 +679,7 @@ class Accelerator:
         if not encodings:
             return _np.zeros((0, 4, NLIMBS), dtype=_np.uint32), []
         n = len(encodings)
-        padded = _next_pow2(n)
+        padded = self._lane_granule(n)
         data = _np.zeros((padded, 32), dtype=_np.uint8)
         data[:n] = _np.frombuffer(b"".join(encodings), dtype=_np.uint8).reshape(n, 32)
         if self.backend == "jax":
@@ -438,7 +694,7 @@ class Accelerator:
         if not points:
             return []
         n = len(points)
-        padded = _next_pow2(n)
+        padded = self._lane_granule(n)
         batch = self._to_device_points(list(points) + [IDENTITY] * (padded - n))
         enc = _np.asarray(self._compress_jit(batch))
         return [bytes(enc[i]) for i in range(n)]

@@ -322,6 +322,13 @@ class Field:
     # -- exponentiation chains ----------------------------------------------
 
     def _sqn(self, a, n: int):
+        if n >= 8 and self.xp is not _np:
+            # long squaring runs as a fori_loop: keeps the traced graph (and
+            # compile time) small — the unrolled pow chains in invert/pow_p58
+            # otherwise dominate whole-program XLA compile time
+            from jax import lax
+
+            return lax.fori_loop(0, n, lambda _, x: self.square(x), a)
         for _ in range(n):
             a = self.square(a)
         return a

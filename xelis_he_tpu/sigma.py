@@ -33,11 +33,16 @@ class BatchCollector:
     fused MSM (signature: (scalars, points) -> RistrettoPoint).
     """
 
-    def __init__(self, msm_fn=None):
+    def __init__(self, msm_fn=None, wants_bytes: bool = False):
         self.dynamic_scalars: list[int] = []
-        self.dynamic_points: list[RistrettoPoint] = []
+        # entries are RistrettoPoint objects, or (with ``wants_bytes``)
+        # 32-byte encodings already validated by the block's fused device
+        # decompression — the accelerator gathers those rows on-device
+        # without ever materializing host point objects
+        self.dynamic_points: list = []
         self.g_scalar = 0
         self.h_scalar = 0
+        self.wants_bytes = wants_bytes
         self._msm = msm_fn or multiscalar_mul
 
     def extend(self, scalar_point_pairs) -> None:
@@ -45,10 +50,18 @@ class BatchCollector:
             self.dynamic_scalars.append(s % scalars.L)
             self.dynamic_points.append(p)
 
+    @staticmethod
+    def _resolve(p) -> RistrettoPoint:
+        if isinstance(p, (bytes, bytearray)):
+            from .types import _decompress_point
+
+            return _decompress_point(bytes(p))
+        return p
+
     def verify(self) -> bool:
         mega = self._msm(
             self.dynamic_scalars + [self.g_scalar % scalars.L, self.h_scalar % scalars.L],
-            self.dynamic_points + [G, H],
+            [self._resolve(p) for p in self.dynamic_points] + [G, H],
         )
         return mega.is_identity()
 
@@ -74,6 +87,33 @@ def _decompress_or_fail(b: bytes, kind: str) -> RistrettoPoint:
         return _decompress_point(b)
     except DecompressionError:
         raise ProofVerificationError(kind) from None
+
+
+def _entry(b: bytes, kind: str, collector: "BatchCollector"):
+    """Collector entry for a compressed encoding: the raw bytes when the
+    accelerator path is active and the block decompression validated them
+    (no host point construction), else a decompressed host point.  Invalid
+    encodings fail here either way (reference parity: decompression errors
+    surface as proof verification errors)."""
+    if collector.wants_bytes:
+        from .types import is_cached_valid
+
+        if is_cached_valid(b):
+            return b
+    return _decompress_or_fail(b, kind)
+
+
+def _obj_entry(obj, collector: "BatchCollector"):
+    """Collector entry for an already-decompressed wrapper object: prefer
+    its compressed origin bytes when the accelerator path is active."""
+    if collector.wants_bytes:
+        comp = getattr(obj, "compressed", None)
+        if comp is not None:
+            from .types import is_cached_valid
+
+            if is_cached_valid(comp):
+                return comp
+    return obj.point
 
 
 class CommitmentEqProof:
@@ -160,9 +200,11 @@ class CommitmentEqProof:
         w = transcript.challenge_scalar(b"w")
         ww = w * w % scalars.L
 
-        Y_0 = _decompress_or_fail(self.Y_0, "commitment_eq_proof")
-        Y_1 = _decompress_or_fail(self.Y_1, "commitment_eq_proof")
-        Y_2 = _decompress_or_fail(self.Y_2, "commitment_eq_proof")
+        Y_0 = _entry(self.Y_0, "commitment_eq_proof", batch_collector)
+        Y_1 = _entry(self.Y_1, "commitment_eq_proof", batch_collector)
+        Y_2 = _entry(self.Y_2, "commitment_eq_proof", batch_collector)
+        P_entry = _obj_entry(source_pubkey, batch_collector)
+        C_dst_entry = _obj_entry(destination_commitment, batch_collector)
 
         batch_factor = scalars.random_scalar()
 
@@ -182,7 +224,7 @@ class CommitmentEqProof:
                     -ww * c * batch_factor,
                     -ww * batch_factor,
                 ],
-                [P_source, Y_0, D_source, C_source, Y_1, C_destination, Y_2],
+                [P_entry, Y_0, D_source, C_source, Y_1, C_dst_entry, Y_2],
             )
         )
 
@@ -273,9 +315,9 @@ class CiphertextValidityProof:
 
         w = transcript.challenge_scalar(b"w")
 
-        Y_0 = _decompress_or_fail(self.Y_0, "ciphertext_validity_proof")
-        Y_1 = _decompress_or_fail(self.Y_1, "ciphertext_validity_proof")
-        Y_2 = _decompress_or_fail(self.Y_2, "ciphertext_validity_proof")
+        Y_0 = _entry(self.Y_0, "ciphertext_validity_proof", batch_collector)
+        Y_1 = _entry(self.Y_1, "ciphertext_validity_proof", batch_collector)
+        Y_2 = _entry(self.Y_2, "ciphertext_validity_proof", batch_collector)
 
         batch_factor = scalars.random_scalar()
 
@@ -298,13 +340,13 @@ class CiphertextValidityProof:
                     -w * w * batch_factor,
                 ],
                 [
-                    commitment.point,
+                    _obj_entry(commitment, batch_collector),
                     Y_0,
-                    dest_pubkey.point,
-                    dest_handle.point,
+                    _obj_entry(dest_pubkey, batch_collector),
+                    _obj_entry(dest_handle, batch_collector),
                     Y_1,
-                    source_pubkey.point,
-                    source_handle.point,
+                    _obj_entry(source_pubkey, batch_collector),
+                    _obj_entry(source_handle, batch_collector),
                     Y_2,
                 ],
             )

@@ -151,7 +151,9 @@ def pre_verify(
     # 0. Signature (verify.rs:252-256)
     tx_bytes, multisig_offset = tx.to_bytes()
     if sig_entries is not None:
-        sig_entries.append((tx.signature, source_decompressed, tx.source, tx_bytes))
+        # pubkey as bytes: the fused check gathers its limbs from the block's
+        # device-resident decompression
+        sig_entries.append((tx.signature, tx.source.data, tx.source, tx_bytes))
     elif not tx.signature.verify(tx_bytes, source_decompressed):
         raise ProofVerificationError("signature")
 
@@ -171,10 +173,11 @@ def pre_verify(
                 raise ProofVerificationError("format", "duplicate multisig signer")
             seen_indices.add(index)
             if index < len(signers):
-                decompressed = signers[index].decompress()
                 if sig_entries is not None:
-                    sig_entries.append((signature, decompressed, signers[index], h))
-                elif not signature.verify(h, decompressed):
+                    sig_entries.append(
+                        (signature, signers[index].data, signers[index], h)
+                    )
+                elif not signature.verify(h, signers[index].decompress()):
                     raise ProofVerificationError("signature", "multisig")
             # NOTE: out-of-range index silently skipped (reference parity,
             # verify.rs:276)
@@ -324,7 +327,7 @@ def verify_batch(
         sig_entries = []
         with span("verify_batch.decompress"):
             encodings = _collect_compressed(txs)
-            rows, valid = accel.decompress_many_lazy(encodings)
+            rows, valid = accel.begin_block(encodings)
             seed_decompress_cache_lazy(
                 {e: r for e, r, ok in zip(encodings, rows, valid) if ok}
             )
@@ -332,7 +335,9 @@ def verify_batch(
         seeded = True
 
     try:
-        sigma_batch_collector = BatchCollector(msm_fn=msm)
+        sigma_batch_collector = BatchCollector(
+            msm_fn=msm, wants_bytes=accel is not None
+        )
         prepared = []
         with span("verify_batch.pre_verify"):
             for tx in txs:
@@ -383,6 +388,7 @@ def verify_batch(
     finally:
         if seeded:
             clear_decompress_cache()
+            accel.end_block()
 
 
 def verify(tx: Transaction, state: BlockchainVerificationState, msm=multiscalar_mul) -> None:

@@ -78,6 +78,12 @@ def clear_decompress_cache() -> None:
     _LAZY_CACHE.clear()
 
 
+def is_cached_valid(data: bytes) -> bool:
+    """True iff ``data`` was validated by the block's batched device
+    decompression (invalid encodings are never cached)."""
+    return data in _DECOMPRESS_CACHE or data in _LAZY_CACHE
+
+
 def _decompress_point(data: bytes) -> RistrettoPoint:
     pt = _DECOMPRESS_CACHE.get(data)
     if pt is not None:
@@ -118,21 +124,21 @@ class CompressedCommitment(_Compressed32):
     def decompress(self) -> "PedersenCommitment":
         from .elgamal import PedersenCommitment
 
-        return PedersenCommitment(_decompress_point(self.data))
+        return PedersenCommitment(_decompress_point(self.data), compressed=self.data)
 
 
 class CompressedHandle(_Compressed32):
     def decompress(self) -> "DecryptHandle":
         from .elgamal import DecryptHandle
 
-        return DecryptHandle(_decompress_point(self.data))
+        return DecryptHandle(_decompress_point(self.data), compressed=self.data)
 
 
 class CompressedPubkey(_Compressed32):
     def decompress(self) -> "ElGamalPubkey":
         from .elgamal import ElGamalPubkey
 
-        return ElGamalPubkey(_decompress_point(self.data))
+        return ElGamalPubkey(_decompress_point(self.data), compressed=self.data)
 
 
 class CompressedCiphertext:
