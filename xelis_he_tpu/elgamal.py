@@ -85,14 +85,37 @@ class PedersenOpening:
         return PedersenOpening(scalars.random_scalar())
 
 
-class PedersenCommitment:
+class _LazyPointMixin:
+    """Deferred decompression: wrappers created from a 32-byte encoding
+    materialize their host point object only on first ``.point`` access.
+    On the batched verification path most wrapped points are pure MSM
+    inputs gathered on-device by encoding, so the Python point is never
+    built at all."""
+
+    __slots__ = ()
+
+    @property
+    def point(self) -> RistrettoPoint:
+        pt = self._point
+        if pt is None:
+            from .types import _decompress_point
+
+            pt = self._point = _decompress_point(self.compressed)
+        return pt
+
+    def _lazy_compress(self) -> bytes:
+        """32-byte encoding without materializing the point if possible."""
+        return self.compressed if self.compressed is not None else self.point.compress()
+
+
+class PedersenCommitment(_LazyPointMixin):
     # ``compressed`` carries the 32-byte origin encoding when this object
     # came from a validated decompression (types.py) — the accelerator uses
     # it to gather the point's limbs on-device instead of re-uploading.
-    __slots__ = ("point", "compressed")
+    __slots__ = ("_point", "compressed")
 
-    def __init__(self, point: RistrettoPoint, compressed: bytes | None = None):
-        self.point = point
+    def __init__(self, point: RistrettoPoint | None, compressed: bytes | None = None):
+        self._point = point
         self.compressed = compressed
 
     @staticmethod
@@ -107,7 +130,7 @@ class PedersenCommitment:
         )
 
     def compress(self) -> CompressedCommitment:
-        return CompressedCommitment(self.point.compress())
+        return CompressedCommitment(self._lazy_compress())
 
     def __add__(self, other: "PedersenCommitment") -> "PedersenCommitment":
         return PedersenCommitment(self.point + other.point)
@@ -119,11 +142,11 @@ class PedersenCommitment:
         return isinstance(other, PedersenCommitment) and self.point == other.point
 
 
-class DecryptHandle:
-    __slots__ = ("point", "compressed")
+class DecryptHandle(_LazyPointMixin):
+    __slots__ = ("_point", "compressed")
 
-    def __init__(self, point: RistrettoPoint, compressed: bytes | None = None):
-        self.point = point
+    def __init__(self, point: RistrettoPoint | None, compressed: bytes | None = None):
+        self._point = point
         self.compressed = compressed
 
     @staticmethod
@@ -131,7 +154,7 @@ class DecryptHandle:
         return DecryptHandle(opening.scalar * public.point)
 
     def compress(self) -> CompressedHandle:
-        return CompressedHandle(self.point.compress())
+        return CompressedHandle(self._lazy_compress())
 
     def __add__(self, other: "DecryptHandle") -> "DecryptHandle":
         return DecryptHandle(self.point + other.point)
@@ -212,11 +235,11 @@ class ECDLPInstance:
         return par_decode(tables, self.point, args)
 
 
-class ElGamalPubkey:
-    __slots__ = ("point", "compressed")
+class ElGamalPubkey(_LazyPointMixin):
+    __slots__ = ("_point", "compressed")
 
-    def __init__(self, point: RistrettoPoint, compressed: bytes | None = None):
-        self.point = point
+    def __init__(self, point: RistrettoPoint | None, compressed: bytes | None = None):
+        self._point = point
         self.compressed = compressed
 
     @staticmethod
@@ -237,7 +260,7 @@ class ElGamalPubkey:
         return DecryptHandle.new(self, opening)
 
     def compress(self) -> CompressedPubkey:
-        return CompressedPubkey(self.point.compress())
+        return CompressedPubkey(self._lazy_compress())
 
     def __eq__(self, other):
         return isinstance(other, ElGamalPubkey) and self.point == other.point

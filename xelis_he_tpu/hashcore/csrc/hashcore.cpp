@@ -167,6 +167,45 @@ void xhe_strobe_key(Strobe *s, const uint8_t *data, size_t len, int more) {
   strobe_overwrite(s, data, len);
 }
 
+// Batched transcript ops: blob is a sequence of records
+//   u8 opcode (0=meta_ad, 1=ad, 2=prf, 3=key), u8 more, u32le len,
+//   then `len` data bytes (absent for prf; its `len` output bytes are
+//   appended to `out`).  Returns total prf bytes written.  One call per
+//   Fiat-Shamir challenge replaces 10+ ctypes round trips on the
+//   verification hot path.
+size_t xhe_strobe_batch(Strobe *s, const uint8_t *blob, size_t blob_len,
+                        uint8_t *out) {
+  size_t i = 0, written = 0;
+  while (i + 6 <= blob_len) {
+    uint8_t op = blob[i];
+    int more = blob[i + 1];
+    uint32_t len = (uint32_t)blob[i + 2] | ((uint32_t)blob[i + 3] << 8) |
+                   ((uint32_t)blob[i + 4] << 16) | ((uint32_t)blob[i + 5] << 24);
+    i += 6;
+    switch (op) {
+      case 0:
+        xhe_strobe_meta_ad(s, blob + i, len, more);
+        i += len;
+        break;
+      case 1:
+        xhe_strobe_ad(s, blob + i, len, more);
+        i += len;
+        break;
+      case 2:
+        xhe_strobe_prf(s, out + written, len, more);
+        written += len;
+        break;
+      case 3:
+        xhe_strobe_key(s, blob + i, len, more);
+        i += len;
+        break;
+      default:
+        return written;
+    }
+  }
+  return written;
+}
+
 // ---------------------------------------------------------------------------
 // BLAKE3 (unkeyed hash, 32-byte output, full chunk tree)
 // ---------------------------------------------------------------------------

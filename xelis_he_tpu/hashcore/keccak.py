@@ -168,3 +168,29 @@ class Strobe128:
     def key(self, data: bytes, more: bool) -> None:
         self._begin_op(FLAG_A | FLAG_C, more)
         self._overwrite(data)
+
+    def run_batch(self, blob: bytes, out_len: int) -> bytes:
+        """Execute a serialized op list (merlin.py record format); pure-
+        Python mirror of the native ``xhe_strobe_batch``."""
+        out = bytearray()
+        i = 0
+        n = len(blob)
+        while i + 6 <= n:
+            op = blob[i]
+            more = bool(blob[i + 1])
+            ln = int.from_bytes(blob[i + 2 : i + 6], "little")
+            i += 6
+            if op == 0:
+                self.meta_ad(blob[i : i + ln], more)
+                i += ln
+            elif op == 1:
+                self.ad(blob[i : i + ln], more)
+                i += ln
+            elif op == 2:
+                out += self.prf(ln, more)
+            elif op == 3:
+                self.key(blob[i : i + ln], more)
+                i += ln
+            else:  # pragma: no cover
+                break
+        return bytes(out)

@@ -24,11 +24,20 @@ def _u32le(n: int) -> bytes:
 
 
 class Transcript:
-    """merlin::Transcript equivalent."""
+    """merlin::Transcript equivalent.
 
-    __slots__ = ("strobe",)
+    Appends are BUFFERED as serialized STROBE op records and flushed in one
+    native call per challenge (``run_batch``): the Fiat-Shamir replay of a
+    whole block then costs ~1 FFI round trip per challenge instead of 3 per
+    append, which dominates host verification time otherwise.  Byte
+    semantics are identical to eager execution — STROBE ops are sequential
+    state transitions either way.
+    """
+
+    __slots__ = ("strobe", "_pend")
 
     def __init__(self, label: bytes, _strobe=None):
+        self._pend: list[bytes] = []
         if _strobe is not None:
             self.strobe = _strobe
             return
@@ -37,17 +46,32 @@ class Transcript:
         self.append_message(b"dom-sep", label)
 
     def append_message(self, label: bytes, message: bytes) -> None:
-        self.strobe.meta_ad(label, False)
-        self.strobe.meta_ad(_u32le(len(message)), True)
-        self.strobe.ad(message, False)
+        # records: u8 op (0=meta_ad, 1=ad, 2=prf), u8 more, u32le len, data
+        self._pend.append(
+            b"\x00\x00" + _u32le(len(label)) + label
+            + b"\x00\x01\x04\x00\x00\x00" + _u32le(len(message))
+            + b"\x01\x00" + _u32le(len(message)) + message
+        )
 
     def append_u64(self, label: bytes, value: int) -> None:
         self.append_message(label, value.to_bytes(8, "little"))
 
     def challenge_bytes(self, label: bytes, n: int) -> bytes:
-        self.strobe.meta_ad(label, False)
-        self.strobe.meta_ad(_u32le(n), True)
-        return self.strobe.prf(n, False)
+        self._pend.append(
+            b"\x00\x00" + _u32le(len(label)) + label
+            + b"\x00\x01\x04\x00\x00\x00" + _u32le(n)
+            + b"\x02\x00" + _u32le(n)
+        )
+        blob = b"".join(self._pend)
+        self._pend.clear()
+        return self.strobe.run_batch(blob, n)
+
+    def _flush(self) -> None:
+        if self._pend:
+            blob = b"".join(self._pend)
+            self._pend.clear()
+            self.strobe.run_batch(blob, 0)
 
     def clone(self) -> "Transcript":
+        self._flush()
         return Transcript(b"", _strobe=self.strobe.copy())

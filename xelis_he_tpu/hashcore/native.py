@@ -54,6 +54,10 @@ for _name in ("xhe_strobe_meta_ad", "xhe_strobe_ad", "xhe_strobe_key"):
 _lib.xhe_strobe_prf.argtypes = [
     ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int
 ]
+_lib.xhe_strobe_batch.argtypes = [
+    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p
+]
+_lib.xhe_strobe_batch.restype = ctypes.c_size_t
 _lib.xhe_blake3.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
 _lib.xhe_chacha20_xor.argtypes = [
     ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint32, ctypes.c_char_p, ctypes.c_size_t
@@ -99,6 +103,13 @@ class NativeStrobe128:
 
     def key(self, data: bytes, more: bool) -> None:
         _lib.xhe_strobe_key(self._h, data, len(data), int(more))
+
+    def run_batch(self, blob: bytes, out_len: int) -> bytes:
+        """Execute a serialized op list (merlin.py record format) in ONE
+        native call; returns the concatenated prf outputs."""
+        out = ctypes.create_string_buffer(out_len) if out_len else None
+        _lib.xhe_strobe_batch(self._h, blob, len(blob), out)
+        return out.raw if out is not None else b""
 
 
 def blake3(data: bytes, out_len: int = 32) -> bytes:

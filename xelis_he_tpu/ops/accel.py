@@ -84,24 +84,31 @@ class Accelerator:
                 self._compress_jit = jax.jit(compress_pallas)
 
                 def _decompress_packed_pl(data):
-                    # kernel emits canonical coords already
+                    # kernel emits canonical coords already; valid flag rides
+                    # as a 73rd column so ONE host pull moves everything
                     pts, valid = decompress_pallas(data)
                     packed = curve.xp.stack(pts, axis=1)  # (N, 4, NLIMBS)
-                    return packed, valid
+                    flat = packed.reshape(packed.shape[0], 4 * NLIMBS)
+                    return curve.xp.concatenate(
+                        [flat, valid[:, None].astype(flat.dtype)], axis=1
+                    )
 
                 self._decompress_packed_jit = jax.jit(_decompress_packed_pl)
             else:
                 self._compress_jit = jax.jit(self.curve.compress)
 
                 def _decompress_packed(data):
-                    # decompress + canonicalize + pack coords into ONE array
-                    # so a single host pull moves the whole result
-                    # (device->host transfers are expensive on tunneled TPUs)
+                    # decompress + canonicalize + pack coords AND the valid
+                    # flag into ONE array so a single host pull moves the
+                    # whole result (each sync on a tunneled TPU costs ~24ms)
                     pts, valid = curve.decompress(data)
                     packed = curve.xp.stack(
                         [curve.fe.canon(c) for c in pts], axis=1
                     )  # (N, 4, NLIMBS)
-                    return packed, valid
+                    flat = packed.reshape(packed.shape[0], 4 * NLIMBS)
+                    return curve.xp.concatenate(
+                        [flat, valid[:, None].astype(flat.dtype)], axis=1
+                    )
 
                 self._decompress_packed_jit = jax.jit(_decompress_packed)
         else:
@@ -115,7 +122,10 @@ class Accelerator:
             def _decompress_packed_np(data):
                 pts, valid = self.curve.decompress(data)
                 packed = _np.stack([self.curve.fe.canon(c) for c in pts], axis=1)
-                return packed, valid
+                flat = packed.reshape(packed.shape[0], 4 * NLIMBS)
+                return _np.concatenate(
+                    [flat, valid[:, None].astype(flat.dtype)], axis=1
+                )
 
             self._decompress_packed_jit = _decompress_packed_np
 
@@ -353,16 +363,18 @@ class Accelerator:
 
     # -- block context: device-resident decompressed rows ---------------------
 
-    def begin_block(self, encodings: list[bytes]):
-        """Decompress every encoding of a block in one fused device call and
-        keep the canonical limb rows ON DEVICE; MSM point inputs are later
-        gathered from this array by index (no host point construction, no
-        re-upload).  Returns (rows, valid) like decompress_many_lazy for
-        host-side cache seeding."""
+    def begin_block_async(self, encodings: list[bytes]) -> None:
+        """Upload + dispatch the block's fused decompression WITHOUT waiting.
+        The device computes while the caller does host-side work (tx
+        serialization, transcript prep); ``begin_block_wait`` then costs one
+        pull.  Uploads and kernels overlap host work on tunneled TPUs — only
+        the result pull pays the ~24ms round trip."""
         if not encodings:
             self._block_rows = None
+            self._block_pending = None
+            self._block_encodings = []
             self._block_index = {}
-            return _np.zeros((0, 4, NLIMBS), dtype=_np.uint32), []
+            return
         n = len(encodings)
         padded = self._lane_granule(n)
         data = _np.zeros((padded, 32), dtype=_np.uint8)
@@ -371,17 +383,42 @@ class Accelerator:
             import jax.numpy as jnp
 
             data = jnp.asarray(data)
-        packed, valid = self._decompress_packed_jit(data)
-        self._block_rows = packed  # (padded, 4, NLIMBS), device-resident
-        rows_np = _np.asarray(packed)[:n]
-        valid_np = [bool(v) for v in _np.asarray(valid)[:n]]
+        rows73 = self._decompress_packed_jit(data)
+        # device-resident coords for the fused MSM gather
+        self._block_rows = rows73[:, : 4 * NLIMBS].reshape(padded, 4, NLIMBS)
+        self._block_pending = rows73
+        self._block_encodings = encodings
+
+    def begin_block_wait(self):
+        """Pull the async decompression (ONE host sync) and build the
+        encoding -> row index map.  Returns (rows, valid) for host-side
+        cache seeding."""
+        pending = getattr(self, "_block_pending", None)
+        if pending is None:
+            return _np.zeros((0, 4, NLIMBS), dtype=_np.uint32), []
+        encodings = self._block_encodings
+        n = len(encodings)
+        out = _np.asarray(pending)  # ONE host pull: coords + valid flags
+        self._block_pending = None
+        rows_np = out[:n, : 4 * NLIMBS].reshape(n, 4, NLIMBS)
+        valid_np = [bool(v) for v in out[:n, 4 * NLIMBS]]
         self._block_index = {
             e: i for i, (e, ok) in enumerate(zip(encodings, valid_np)) if ok
         }
         return rows_np, valid_np
 
+    def begin_block(self, encodings: list[bytes]):
+        """Decompress every encoding of a block in one fused device call and
+        keep the canonical limb rows ON DEVICE; MSM point inputs are later
+        gathered from this array by index (no host point construction, no
+        re-upload).  Returns (rows, valid) like decompress_many_lazy for
+        host-side cache seeding."""
+        self.begin_block_async(encodings)
+        return self.begin_block_wait()
+
     def end_block(self):
         self._block_rows = None
+        self._block_pending = None
         self._block_index = {}
 
     def _gens_rows(self, n_bits: int, m: int):
@@ -661,15 +698,15 @@ class Accelerator:
             import jax.numpy as jnp
 
             data = jnp.asarray(data)
-        packed, valid = self._decompress_packed_jit(data)
-        packed = _np.asarray(packed)[:n]  # one pull: (n, 4, NLIMBS)
+        out = _np.asarray(self._decompress_packed_jit(data))  # one pull
+        packed = out[:n, : 4 * NLIMBS].reshape(n, 4, NLIMBS)
         from .fe import Field
 
         coords = Field.to_ints(packed)  # n*4 ints, row-major X,Y,Z,T
         points = [
             RistrettoPoint(*coords[4 * i: 4 * i + 4]) for i in range(n)
         ]
-        return points, [bool(v) for v in _np.asarray(valid)[:n]]
+        return points, [bool(v) for v in out[:n, 4 * NLIMBS]]
 
     def decompress_many_lazy(self, encodings: list[bytes]):
         """Batched validating decompression WITHOUT host point
@@ -686,9 +723,9 @@ class Accelerator:
             import jax.numpy as jnp
 
             data = jnp.asarray(data)
-        packed, valid = self._decompress_packed_jit(data)
-        packed = _np.asarray(packed)[:n]
-        return packed, [bool(v) for v in _np.asarray(valid)[:n]]
+        out = _np.asarray(self._decompress_packed_jit(data))  # one pull
+        packed = out[:n, : 4 * NLIMBS].reshape(n, 4, NLIMBS)
+        return packed, [bool(v) for v in out[:n, 4 * NLIMBS]]
 
     def compress_many(self, points: list[RistrettoPoint]) -> list[bytes]:
         if not points:

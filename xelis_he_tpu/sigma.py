@@ -182,10 +182,10 @@ class CommitmentEqProof:
     ) -> None:
         transcript.equality_proof_domain_separator()
 
-        P_source = source_pubkey.point
+        # C/D of the (host-computed) new-balance ciphertext are concrete
+        # points; P and C_dst stay as encodings on the accelerator path
         C_source = source_ciphertext.commitment.point
         D_source = source_ciphertext.handle.point
-        C_destination = destination_commitment.point
 
         transcript.validate_and_append_point(b"Y_0", self.Y_0)
         transcript.validate_and_append_point(b"Y_1", self.Y_1)

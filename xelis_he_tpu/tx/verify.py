@@ -120,6 +120,7 @@ def pre_verify(
     state: BlockchainVerificationState,
     sigma_batch_collector: BatchCollector,
     sig_entries: list | None = None,
+    tx_bytes_pair: tuple[bytes, int] | None = None,
 ):
     """verify.rs:201-485.  Returns (transcript, value_commitments) where
     value_commitments is the list of compressed commitment bytes for the
@@ -149,7 +150,7 @@ def pre_verify(
     transcript = prepare_transcript(tx.version, tx.source, tx.fee, tx.nonce)
 
     # 0. Signature (verify.rs:252-256)
-    tx_bytes, multisig_offset = tx.to_bytes()
+    tx_bytes, multisig_offset = tx_bytes_pair or tx.to_bytes()
     if sig_entries is not None:
         # pubkey as bytes: the fused check gathers its limbs from the block's
         # device-resident decompression
@@ -322,12 +323,17 @@ def verify_batch(
     metrics.incr("verify_batch.txs", len(txs))
     sig_entries = None
     seeded = False
+    tx_bytes_pairs: list | None = None
     if accel is not None:
         msm = accel.msm
         sig_entries = []
         with span("verify_batch.decompress"):
             encodings = _collect_compressed(txs)
-            rows, valid = accel.begin_block(encodings)
+            accel.begin_block_async(encodings)
+            # overlap the device round trip with host-side serialization
+            # (the signature preimages don't need any decompressed point)
+            tx_bytes_pairs = [tx.to_bytes() for tx in txs]
+            rows, valid = accel.begin_block_wait()
             seed_decompress_cache_lazy(
                 {e: r for e, r, ok in zip(encodings, rows, valid) if ok}
             )
@@ -340,9 +346,13 @@ def verify_batch(
         )
         prepared = []
         with span("verify_batch.pre_verify"):
-            for tx in txs:
+            for i, tx in enumerate(txs):
                 transcript, commitments = pre_verify(
-                    tx, state, sigma_batch_collector, sig_entries=sig_entries
+                    tx,
+                    state,
+                    sigma_batch_collector,
+                    sig_entries=sig_entries,
+                    tx_bytes_pair=tx_bytes_pairs[i] if tx_bytes_pairs else None,
                 )
                 prepared.append((transcript, commitments))
 

@@ -90,10 +90,12 @@ def _decompress_point(data: bytes) -> RistrettoPoint:
         return pt
     row = _LAZY_CACHE.get(data)
     if row is not None:
-        coords = [
-            sum(int(v) << (15 * k) for k, v in enumerate(limbs))
-            for limbs in row.tolist()
-        ]
+        coords = []
+        for limbs in row.tolist():
+            v = 0
+            for x in reversed(limbs):
+                v = (v << 15) | x
+            coords.append(v)
         pt = RistrettoPoint(*coords)
         _DECOMPRESS_CACHE[data] = pt
         return pt
@@ -124,6 +126,10 @@ class CompressedCommitment(_Compressed32):
     def decompress(self) -> "PedersenCommitment":
         from .elgamal import PedersenCommitment
 
+        if is_cached_valid(self.data):
+            # validated by the block's fused device decompression: defer the
+            # host point build (most wrapped points are device MSM inputs)
+            return PedersenCommitment(None, compressed=self.data)
         return PedersenCommitment(_decompress_point(self.data), compressed=self.data)
 
 
@@ -131,6 +137,8 @@ class CompressedHandle(_Compressed32):
     def decompress(self) -> "DecryptHandle":
         from .elgamal import DecryptHandle
 
+        if is_cached_valid(self.data):
+            return DecryptHandle(None, compressed=self.data)
         return DecryptHandle(_decompress_point(self.data), compressed=self.data)
 
 
@@ -138,6 +146,8 @@ class CompressedPubkey(_Compressed32):
     def decompress(self) -> "ElGamalPubkey":
         from .elgamal import ElGamalPubkey
 
+        if is_cached_valid(self.data):
+            return ElGamalPubkey(None, compressed=self.data)
         return ElGamalPubkey(_decompress_point(self.data), compressed=self.data)
 
 
