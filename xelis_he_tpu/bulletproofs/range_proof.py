@@ -319,15 +319,11 @@ class RangeProof:
             for sc, pb in zip(dyn_sc, dyn_pts_b):
                 dyn_scalars.append(sc * rho % L)
                 if device:
-                    # device path: keep validated encodings as bytes — the
-                    # accelerator gathers their limbs from the block's fused
-                    # decompression without host point construction
-                    from ..types import is_cached_valid
-
-                    if is_cached_valid(pb):
-                        dyn_points.append(pb)
-                    else:
-                        dyn_points.append(_decompress_cached(pb))
+                    # device path: keep encodings as bytes — the accelerator
+                    # gathers their limbs from the block's fused
+                    # decompression (whose valid flags gate the accept
+                    # predicate) without host point construction
+                    dyn_points.append(pb)
                 else:
                     dyn_points.append(_decompress_cached(pb))
             scalarops.axpy_(g_acc[:nm], g, rho)

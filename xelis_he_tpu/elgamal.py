@@ -85,12 +85,60 @@ class PedersenOpening:
         return PedersenOpening(scalars.random_scalar())
 
 
+class PointExpr:
+    """Symbolic linear combination of points:  sum(coeff_i * atom_i) + g*G.
+
+    Atoms are 32-byte Ristretto encodings (gathered on-device from the
+    block's fused decompression on the accelerator path) or host
+    ``RistrettoPoint`` objects.  Homomorphic ciphertext algebra on the
+    verification hot path builds these instead of evaluating field
+    arithmetic; sigma verification expands them directly into the batch
+    collector's MSM, so the combination is *never* evaluated at all.
+    """
+
+    __slots__ = ("terms", "g_coeff")
+
+    def __init__(self, terms: tuple = (), g_coeff: int = 0):
+        self.terms = terms  # tuple of (coeff, atom)
+        self.g_coeff = g_coeff
+
+    def __add__(self, other: "PointExpr") -> "PointExpr":
+        return PointExpr(self.terms + other.terms, self.g_coeff + other.g_coeff)
+
+    def __sub__(self, other: "PointExpr") -> "PointExpr":
+        return PointExpr(
+            self.terms + tuple((-c, a) for c, a in other.terms),
+            self.g_coeff - other.g_coeff,
+        )
+
+    def add_g(self, x: int) -> "PointExpr":
+        return PointExpr(self.terms, self.g_coeff + x)
+
+    def evaluate(self) -> RistrettoPoint:
+        """Host evaluation (off the hot path: decrypt, compress, equality).
+        Raises DecompressionError on invalid encoded atoms."""
+        from .types import _decompress_point
+
+        sc = [c % scalars.L for c, _ in self.terms]
+        pts = [
+            _decompress_point(a) if isinstance(a, (bytes, bytearray)) else a
+            for _, a in self.terms
+        ]
+        if self.g_coeff % scalars.L:
+            sc.append(self.g_coeff % scalars.L)
+            pts.append(G)
+        if not sc:
+            return IDENTITY
+        return multiscalar_mul(sc, pts)
+
+
 class _LazyPointMixin:
-    """Deferred decompression: wrappers created from a 32-byte encoding
-    materialize their host point object only on first ``.point`` access.
-    On the batched verification path most wrapped points are pure MSM
-    inputs gathered on-device by encoding, so the Python point is never
-    built at all."""
+    """Deferred decompression + symbolic algebra: wrappers created from a
+    32-byte encoding materialize their host point object only on first
+    ``.point`` access, and wrappers produced by homomorphic add/sub carry a
+    :class:`PointExpr` instead of a point.  On the batched verification
+    path most wrapped points are pure MSM inputs gathered on-device by
+    encoding, so the Python point is never built at all."""
 
     __slots__ = ()
 
@@ -98,10 +146,22 @@ class _LazyPointMixin:
     def point(self) -> RistrettoPoint:
         pt = self._point
         if pt is None:
-            from .types import _decompress_point
+            expr = self._expr
+            if expr is not None:
+                pt = self._point = expr.evaluate()
+            else:
+                from .types import _decompress_point
 
-            pt = self._point = _decompress_point(self.compressed)
+                pt = self._point = _decompress_point(self.compressed)
         return pt
+
+    def as_expr(self) -> PointExpr:
+        """Cheapest symbolic form of this wrapper (never evaluates)."""
+        if self._expr is not None and self._point is None:
+            return self._expr
+        if self._point is not None:
+            return PointExpr(((1, self._point),))
+        return PointExpr(((1, self.compressed),))
 
     def _lazy_compress(self) -> bytes:
         """32-byte encoding without materializing the point if possible."""
@@ -112,11 +172,19 @@ class PedersenCommitment(_LazyPointMixin):
     # ``compressed`` carries the 32-byte origin encoding when this object
     # came from a validated decompression (types.py) — the accelerator uses
     # it to gather the point's limbs on-device instead of re-uploading.
-    __slots__ = ("_point", "compressed")
+    # ``_expr`` (mutually exclusive with a materialized ``_point``) carries
+    # the symbolic combination built by homomorphic add/sub.
+    __slots__ = ("_point", "compressed", "_expr")
 
-    def __init__(self, point: RistrettoPoint | None, compressed: bytes | None = None):
+    def __init__(
+        self,
+        point: RistrettoPoint | None,
+        compressed: bytes | None = None,
+        expr: PointExpr | None = None,
+    ):
         self._point = point
         self.compressed = compressed
+        self._expr = expr
 
     @staticmethod
     def new(amount: int) -> tuple["PedersenCommitment", PedersenOpening]:
@@ -133,21 +201,27 @@ class PedersenCommitment(_LazyPointMixin):
         return CompressedCommitment(self._lazy_compress())
 
     def __add__(self, other: "PedersenCommitment") -> "PedersenCommitment":
-        return PedersenCommitment(self.point + other.point)
+        return PedersenCommitment(None, expr=self.as_expr() + other.as_expr())
 
     def __sub__(self, other: "PedersenCommitment") -> "PedersenCommitment":
-        return PedersenCommitment(self.point - other.point)
+        return PedersenCommitment(None, expr=self.as_expr() - other.as_expr())
 
     def __eq__(self, other):
         return isinstance(other, PedersenCommitment) and self.point == other.point
 
 
 class DecryptHandle(_LazyPointMixin):
-    __slots__ = ("_point", "compressed")
+    __slots__ = ("_point", "compressed", "_expr")
 
-    def __init__(self, point: RistrettoPoint | None, compressed: bytes | None = None):
+    def __init__(
+        self,
+        point: RistrettoPoint | None,
+        compressed: bytes | None = None,
+        expr: PointExpr | None = None,
+    ):
         self._point = point
         self.compressed = compressed
+        self._expr = expr
 
     @staticmethod
     def new(public: "ElGamalPubkey", opening: PedersenOpening) -> "DecryptHandle":
@@ -157,10 +231,10 @@ class DecryptHandle(_LazyPointMixin):
         return CompressedHandle(self._lazy_compress())
 
     def __add__(self, other: "DecryptHandle") -> "DecryptHandle":
-        return DecryptHandle(self.point + other.point)
+        return DecryptHandle(None, expr=self.as_expr() + other.as_expr())
 
     def __sub__(self, other: "DecryptHandle") -> "DecryptHandle":
-        return DecryptHandle(self.point - other.point)
+        return DecryptHandle(None, expr=self.as_expr() - other.as_expr())
 
     def __eq__(self, other):
         return isinstance(other, DecryptHandle) and self.point == other.point
@@ -175,8 +249,12 @@ class ElGamalCiphertext:
 
     @staticmethod
     def zero() -> "ElGamalCiphertext":
-        """Universal zero ciphertext, decryptable by any key (elgamal.rs:176-183)."""
-        return ElGamalCiphertext(PedersenCommitment(IDENTITY), DecryptHandle(IDENTITY))
+        """Universal zero ciphertext, decryptable by any key (elgamal.rs:176-183).
+        Symbolic (empty expression) so homomorphic sums stay unevaluated."""
+        return ElGamalCiphertext(
+            PedersenCommitment(None, expr=PointExpr()),
+            DecryptHandle(None, expr=PointExpr()),
+        )
 
     def compress(self) -> CompressedCiphertext:
         return CompressedCiphertext(self.commitment.compress(), self.handle.compress())
@@ -189,7 +267,8 @@ class ElGamalCiphertext:
         if isinstance(other, int):
             # plaintext add: C + x*G, handle unchanged (elgamal.rs:356-364)
             return ElGamalCiphertext(
-                PedersenCommitment(self.commitment.point + mul_base(other)), self.handle
+                PedersenCommitment(None, expr=self.commitment.as_expr().add_g(other)),
+                self.handle,
             )
         return NotImplemented
 
@@ -200,7 +279,8 @@ class ElGamalCiphertext:
             )
         if isinstance(other, int):
             return ElGamalCiphertext(
-                PedersenCommitment(self.commitment.point - mul_base(other)), self.handle
+                PedersenCommitment(None, expr=self.commitment.as_expr().add_g(-other)),
+                self.handle,
             )
         return NotImplemented
 
@@ -236,11 +316,12 @@ class ECDLPInstance:
 
 
 class ElGamalPubkey(_LazyPointMixin):
-    __slots__ = ("_point", "compressed")
+    __slots__ = ("_point", "compressed", "_expr")
 
     def __init__(self, point: RistrettoPoint | None, compressed: bytes | None = None):
         self._point = point
         self.compressed = compressed
+        self._expr = None
 
     @staticmethod
     def from_secret(secret: "ElGamalSecretKey") -> "ElGamalPubkey":

@@ -371,6 +371,7 @@ class Accelerator:
         the result pull pays the ~24ms round trip."""
         if not encodings:
             self._block_rows = None
+            self._block_valid = None
             self._block_pending = None
             self._block_encodings = []
             self._block_index = {}
@@ -386,8 +387,15 @@ class Accelerator:
         rows73 = self._decompress_packed_jit(data)
         # device-resident coords for the fused MSM gather
         self._block_rows = rows73[:, : 4 * NLIMBS].reshape(padded, 4, NLIMBS)
+        # device-resident valid flags: folded into the fused accept
+        # predicate, so the single-sync path never pulls them (padding rows
+        # are the identity encoding, which is valid)
+        self._block_valid = rows73[:, 4 * NLIMBS]
         self._block_pending = rows73
         self._block_encodings = encodings
+        # the encoding -> row map is known at dispatch time; garbage rows
+        # from invalid encodings are harmless because the valid AND rejects
+        self._block_index = {e: i for i, e in enumerate(encodings)}
 
     def begin_block_wait(self):
         """Pull the async decompression (ONE host sync) and build the
@@ -416,8 +424,19 @@ class Accelerator:
         self.begin_block_async(encodings)
         return self.begin_block_wait()
 
+    def block_valid_flags(self) -> list[bool]:
+        """Pull the block's decompression valid flags (failure diagnostics
+        only — the happy path never syncs on them).  Returns one bool per
+        encoding passed to begin_block_async."""
+        valid = getattr(self, "_block_valid", None)
+        if valid is None:
+            return []
+        n = len(self._block_encodings)
+        return [bool(v) for v in _np.asarray(valid)[:n]]
+
     def end_block(self):
         self._block_rows = None
+        self._block_valid = None
         self._block_pending = None
         self._block_index = {}
 
@@ -472,6 +491,8 @@ class Accelerator:
                 i = block_index.get(bytes(p))
                 if i is not None:
                     idx.append(i)
+                elif bytes(p) == b"\x00" * 32:
+                    idx.append(extra_base)  # extras[0] is the identity
                 else:
                     extras.append(_decompress_point(bytes(p)))
                     idx.append(extra_base + len(extras) - 1)
@@ -511,8 +532,16 @@ class Accelerator:
         lanes_fn = self._lanes_fn()
         use_pallas = self.use_pallas
 
-        def _check(block_rows, gens_rows, extra_rows, idx, bits):
+        def _check(block_rows, gens_rows, extra_rows, idx, bits, valid):
             xp = curve.xp
+            # every block encoding must decompress validly (reference
+            # parity: the verifier decompresses each one); padding rows are
+            # the valid identity encoding
+            all_valid = (
+                valid.astype(xp.uint8).min()
+                if valid.shape[0]
+                else xp.ones((), dtype=xp.uint8)
+            )
             all_rows = xp.concatenate([block_rows, gens_rows, extra_rows], axis=0)
             rows = all_rows[idx]  # (N, 4, NLIMBS) one gather
             points = tuple(rows[:, c, :] for c in range(4))
@@ -546,9 +575,10 @@ class Accelerator:
             # device->host pull (each sync over a tunneled TPU costs ~20ms)
             flags = xp.concatenate(
                 [
-                    sigma_ok[None].astype(xp.uint8),
-                    range_ok[None].astype(xp.uint8),
-                    xp.zeros((30,), dtype=xp.uint8),
+                    xp.reshape(sigma_ok, (1,)).astype(xp.uint8),
+                    xp.reshape(range_ok, (1,)).astype(xp.uint8),
+                    xp.reshape(all_valid, (1,)).astype(xp.uint8),
+                    xp.zeros((29,), dtype=xp.uint8),
                 ]
             )[None, :]
             return xp.concatenate([flags, r_bytes], axis=0)
@@ -653,8 +683,11 @@ class Accelerator:
 
         idx_arr = _np.asarray(idx, dtype=_np.int32)
         bits = self._bits_for(all_scalars)
+        valid = getattr(self, "_block_valid", None)
         if block_rows is None:
             block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
+        if valid is None:
+            valid = _np.ones((block_rows.shape[0],), dtype=_np.uint32)
         if gens_rows is None:
             gens_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
         if self.backend == "jax":
@@ -665,23 +698,27 @@ class Accelerator:
             extra_rows = jnp.asarray(extra_rows)
             block_rows = jnp.asarray(block_rows)
             gens_rows = jnp.asarray(gens_rows)
+            valid = jnp.asarray(valid)
 
         fn = self._fused_check_fn(ns, nr, nk, m_block, k_gens, e_pad)
         out = _np.asarray(
-            fn(block_rows, gens_rows, extra_rows, idx_arr, bits)
+            fn(block_rows, gens_rows, extra_rows, idx_arr, bits, valid)
         )  # host sync happens here, once
-        sigma_ok, range_ok = bool(out[0, 0]), bool(out[0, 1])
+        all_valid = bool(out[0, 2])
+        sigma_ok = bool(out[0, 0]) and all_valid
+        range_ok = bool(out[0, 1]) and all_valid
         r_bytes = out[1:]
-        sig_ok = True
-        for i, (sig, _pt, pk_compressed, message) in enumerate(sig_entries):
-            h = hashlib.sha3_512()
-            h.update(pk_compressed.data)
-            h.update(message)
-            h.update(bytes(r_bytes[i]))
-            if sc.from_bytes_mod_order_wide(h.digest()) != sig.e:
-                sig_ok = False
-                break
-        return bool(sigma_ok), bool(range_ok), sig_ok
+        sig_ok = all_valid
+        if sig_ok:
+            for i, (sig, _pt, pk_compressed, message) in enumerate(sig_entries):
+                h = hashlib.sha3_512()
+                h.update(pk_compressed.data)
+                h.update(message)
+                h.update(bytes(r_bytes[i]))
+                if sc.from_bytes_mod_order_wide(h.digest()) != sig.e:
+                    sig_ok = False
+                    break
+        return sigma_ok, range_ok, sig_ok
 
     # -- batched point utilities (device) ------------------------------------
 

@@ -91,29 +91,40 @@ def _decompress_or_fail(b: bytes, kind: str) -> RistrettoPoint:
 
 def _entry(b: bytes, kind: str, collector: "BatchCollector"):
     """Collector entry for a compressed encoding: the raw bytes when the
-    accelerator path is active and the block decompression validated them
-    (no host point construction), else a decompressed host point.  Invalid
-    encodings fail here either way (reference parity: decompression errors
-    surface as proof verification errors)."""
+    accelerator path is active (no host point construction — the block's
+    fused device decompression validates every encoding and its valid
+    flags gate the single accept predicate), else a decompressed host
+    point.  Invalid encodings fail verification either way (reference
+    parity: decompression errors surface as proof verification errors)."""
     if collector.wants_bytes:
-        from .types import is_cached_valid
-
-        if is_cached_valid(b):
-            return b
+        return b
     return _decompress_or_fail(b, kind)
 
 
 def _obj_entry(obj, collector: "BatchCollector"):
     """Collector entry for an already-decompressed wrapper object: prefer
-    its compressed origin bytes when the accelerator path is active."""
+    its compressed origin bytes when the accelerator path is active
+    (validity of every block encoding is folded into the device-side
+    accept predicate)."""
     if collector.wants_bytes:
         comp = getattr(obj, "compressed", None)
         if comp is not None:
-            from .types import is_cached_valid
-
-            if is_cached_valid(comp):
-                return comp
+            return comp
     return obj.point
+
+
+def _fold_obj(obj, scale: int, collector: "BatchCollector") -> None:
+    """Append ``scale * obj`` to the collector, expanding symbolic
+    homomorphic combinations (elgamal.PointExpr) term-by-term so the
+    combination itself is never evaluated — each atom rides the MSM as its
+    own lane with coefficient ``coeff * scale``."""
+    expr = getattr(obj, "_expr", None)
+    if expr is not None and obj._point is None:
+        if expr.g_coeff:
+            collector.g_scalar += scale * expr.g_coeff
+        collector.extend((c * scale, a) for c, a in expr.terms)
+        return
+    collector.extend(((scale, _obj_entry(obj, collector)),))
 
 
 class CommitmentEqProof:
@@ -182,10 +193,13 @@ class CommitmentEqProof:
     ) -> None:
         transcript.equality_proof_domain_separator()
 
-        # C/D of the (host-computed) new-balance ciphertext are concrete
-        # points; P and C_dst stay as encodings on the accelerator path
-        C_source = source_ciphertext.commitment.point
-        D_source = source_ciphertext.handle.point
+        # C/D of the new-balance ciphertext are symbolic homomorphic
+        # combinations (state balance − fee·G − transfer terms); they are
+        # expanded term-by-term into the collector below, so neither the
+        # combination nor any host point is ever evaluated.  P and C_dst
+        # stay as encodings on the accelerator path.
+        C_source = source_ciphertext.commitment
+        D_source = source_ciphertext.handle
 
         transcript.validate_and_append_point(b"Y_0", self.Y_0)
         transcript.validate_and_append_point(b"Y_1", self.Y_1)
@@ -218,15 +232,15 @@ class CommitmentEqProof:
                 [
                     self.z_s * batch_factor,
                     -batch_factor,
-                    w * self.z_s * batch_factor,
-                    -w * c * batch_factor,
                     -w * batch_factor,
                     -ww * c * batch_factor,
                     -ww * batch_factor,
                 ],
-                [P_entry, Y_0, D_source, C_source, Y_1, C_dst_entry, Y_2],
+                [P_entry, Y_0, Y_1, C_dst_entry, Y_2],
             )
         )
+        _fold_obj(D_source, w * self.z_s * batch_factor, batch_collector)
+        _fold_obj(C_source, -w * c * batch_factor, batch_collector)
 
     def to_bytes(self) -> bytes:
         return (

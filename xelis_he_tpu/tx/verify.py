@@ -318,7 +318,7 @@ def verify_batch(
     multisig) is verified in one fused device call, and both mega-MSMs run
     on the device."""
     from ..metrics import metrics, span
-    from ..types import clear_decompress_cache, seed_decompress_cache_lazy
+    from ..types import clear_decompress_cache, set_block_lazy
 
     metrics.incr("verify_batch.txs", len(txs))
     sig_entries = None
@@ -328,16 +328,17 @@ def verify_batch(
         msm = accel.msm
         sig_entries = []
         with span("verify_batch.decompress"):
+            # Dispatch the block's fused decompression and do NOT wait: the
+            # result (coords + valid flags) stays device-resident, the MSM
+            # gathers rows by index, and the valid flags fold into the
+            # single fused accept predicate.  The whole block costs ONE
+            # host<->device sync.
             encodings = _collect_compressed(txs)
             accel.begin_block_async(encodings)
-            # overlap the device round trip with host-side serialization
-            # (the signature preimages don't need any decompressed point)
+            # overlap the device work with host-side serialization
             tx_bytes_pairs = [tx.to_bytes() for tx in txs]
-            rows, valid = accel.begin_block_wait()
-            seed_decompress_cache_lazy(
-                {e: r for e, r, ok in zip(encodings, rows, valid) if ok}
-            )
         metrics.incr("verify_batch.decompressed_points", len(encodings))
+        set_block_lazy(True)
         seeded = True
 
     try:
@@ -385,11 +386,18 @@ def verify_batch(
                     (range_inputs["sc"], range_inputs["pts"]),
                     sig_entries,
                 )
-            if not sigs_ok:
-                raise ProofVerificationError("signature")
-            if not sigma_ok:
-                raise ProofVerificationError("generic_proof", "sigma batch")
-            if not range_ok:
+            if not (sigma_ok and range_ok and sigs_ok):
+                # failure diagnostics (extra sync, failure path only): an
+                # invalid encoding surfaces as the reference's
+                # ProofVerificationError::Decompression would (lib.rs:74-75)
+                if not all(accel.block_valid_flags()):
+                    raise ProofVerificationError(
+                        "decompression", "invalid point encoding in block"
+                    )
+                if not sigs_ok:
+                    raise ProofVerificationError("signature")
+                if not sigma_ok:
+                    raise ProofVerificationError("generic_proof", "sigma batch")
                 raise ProofVerificationError("range_proof", "batch verification equation")
         else:
             if not sigma_batch_collector.verify():
@@ -397,6 +405,7 @@ def verify_batch(
             RangeProof.verify_batch(views, BP_GENS, PC_GENS, msm=msm)
     finally:
         if seeded:
+            set_block_lazy(False)
             clear_decompress_cache()
             accel.end_block()
 

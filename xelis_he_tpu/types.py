@@ -84,6 +84,24 @@ def is_cached_valid(data: bytes) -> bool:
     return data in _DECOMPRESS_CACHE or data in _LAZY_CACHE
 
 
+# Block-lazy mode: while a batched verification with an accelerator is in
+# flight, every ``decompress()`` defers BOTH the point build AND validity
+# checking — the block's fused device decompression validates all encodings
+# and its valid flags are folded into the single device-side accept/reject
+# predicate.  Host access to ``.point`` still decompresses (and raises)
+# eagerly, preserving reference error behavior off the hot path.
+_BLOCK_LAZY = False
+
+
+def set_block_lazy(on: bool) -> None:
+    global _BLOCK_LAZY
+    _BLOCK_LAZY = on
+
+
+def _defer_decompression(data: bytes) -> bool:
+    return _BLOCK_LAZY or data in _DECOMPRESS_CACHE or data in _LAZY_CACHE
+
+
 def _decompress_point(data: bytes) -> RistrettoPoint:
     pt = _DECOMPRESS_CACHE.get(data)
     if pt is not None:
@@ -126,9 +144,10 @@ class CompressedCommitment(_Compressed32):
     def decompress(self) -> "PedersenCommitment":
         from .elgamal import PedersenCommitment
 
-        if is_cached_valid(self.data):
-            # validated by the block's fused device decompression: defer the
-            # host point build (most wrapped points are device MSM inputs)
+        if _defer_decompression(self.data):
+            # validated by the block's fused device decompression (or will
+            # be, in block-lazy mode): defer the host point build — most
+            # wrapped points are device MSM inputs
             return PedersenCommitment(None, compressed=self.data)
         return PedersenCommitment(_decompress_point(self.data), compressed=self.data)
 
@@ -137,7 +156,7 @@ class CompressedHandle(_Compressed32):
     def decompress(self) -> "DecryptHandle":
         from .elgamal import DecryptHandle
 
-        if is_cached_valid(self.data):
+        if _defer_decompression(self.data):
             return DecryptHandle(None, compressed=self.data)
         return DecryptHandle(_decompress_point(self.data), compressed=self.data)
 
@@ -146,7 +165,7 @@ class CompressedPubkey(_Compressed32):
     def decompress(self) -> "ElGamalPubkey":
         from .elgamal import ElGamalPubkey
 
-        if is_cached_valid(self.data):
+        if _defer_decompression(self.data):
             return ElGamalPubkey(None, compressed=self.data)
         return ElGamalPubkey(_decompress_point(self.data), compressed=self.data)
 
