@@ -277,6 +277,63 @@ class RangeProof:
         (xelis fork verification_view, tx/verify.rs:504-514)."""
         return RangeProofVerificationView(self, transcript, value_commitments, n)
 
+    def _fold_native(self, transcript, value_commitments, n, bp_gens, rho, c,
+                     dyn_out, g_acc, h_acc, b_acc, bb_acc) -> bool:
+        """One-FFI-call transcript replay + batch-fold via the C++ engine
+        (csrc/verifyfold.cpp).  Returns False if unavailable for this
+        transcript (pure-Python STROBE).  Raises like the Python path on
+        identity points; structural validation happens here first."""
+        from ..hashcore import verifyfold_native as _vf
+        from ..errors import TranscriptError
+
+        handle = transcript.native_handle()
+        if handle is None:
+            return False
+        m = len(value_commitments)
+        if m == 0 or (m & (m - 1)) != 0:
+            raise ProofVerificationError("range_proof", "invalid aggregation size")
+        if n not in (8, 16, 32, 64):
+            raise ProofVerificationError("range_proof", "invalid bitsize")
+        if m > bp_gens.party_capacity:
+            raise ProofVerificationError("range_proof", "exceeds generator capacity")
+        ipp = self.ipp_proof
+        lg = len(ipp.L_vec)
+        if n * m == 0 or lg >= 32 or n * m != (1 << lg):
+            raise ProofVerificationError("range_proof", "ipp length mismatch")
+
+        from .. import scalarops
+
+        pend = transcript.take_pending()
+        pts = self.A + self.S + self.T_1 + self.T_2
+        lr = b"".join(ipp.L_vec) + b"".join(ipp.R_vec)
+        sc3 = (
+            scalarops.int_to_bytes32(self.t_x)
+            + scalarops.int_to_bytes32(self.t_x_blinding)
+            + scalarops.int_to_bytes32(self.e_blinding)
+        )
+        ab = scalarops.int_to_bytes32(ipp.a) + scalarops.int_to_bytes32(ipp.b)
+        V = b"".join(value_commitments)
+        rc = _vf.lib.xhe_bp_fold(
+            handle,
+            pend, len(pend),
+            pts,
+            lr, lg,
+            sc3,
+            ab,
+            V, m,
+            n,
+            scalarops.int_to_bytes32(rho),
+            scalarops.int_to_bytes32(c),
+            dyn_out.ctypes.data,
+            g_acc.ctypes.data,
+            h_acc.ctypes.data,
+            b_acc.ctypes.data,
+            bb_acc.ctypes.data,
+        )
+        if rc != 0:
+            raise TranscriptError("point should not be the identity")
+        return True
+
     @staticmethod
     def verify_batch(
         views: "list[RangeProofVerificationView]",
@@ -289,7 +346,9 @@ class RangeProof:
 
         With ``msm_check`` (device-side identity predicate), returns the
         unevaluated check value instead of raising — the caller evaluates it
-        together with other deferred checks (one host sync for the block)."""
+        together with other deferred checks (one host sync for the block).
+        The per-proof transcript replay + scalar fold runs in the C++
+        verification engine (one FFI call per proof) when available."""
         import numpy as np
 
         from .. import scalarops
@@ -298,43 +357,74 @@ class RangeProof:
         if not views:
             return True if msm_check is not None else None
         device = msm_check is not None
-        max_nm = 0
+
+        try:
+            from ..hashcore import verifyfold_native  # noqa: F401
+
+            have_native = scalarops.HAVE_NATIVE
+        except Exception:  # pragma: no cover
+            have_native = False
+
+        max_nm = max(v.n * len(v.value_commitments) for v in views)
+        dyn_chunks: list[np.ndarray] = []
         dyn_scalars: list[int] = []
-        dyn_points: list[RistrettoPoint] = []
-        g_acc = np.zeros((0, 32), dtype=np.uint8)
-        h_acc = np.zeros((0, 32), dtype=np.uint8)
+        dyn_points: list = []
+        g_acc = np.zeros((max_nm, 32), dtype=np.uint8)
+        h_acc = np.zeros((max_nm, 32), dtype=np.uint8)
+        b_buf = np.zeros((1, 32), dtype=np.uint8)
+        bb_buf = np.zeros((1, 32), dtype=np.uint8)
         b_acc = 0
         bb_acc = 0
         for view in views:
-            nm = view.n * len(view.value_commitments)
-            if nm > max_nm:
-                pad = np.zeros((nm - max_nm, 32), dtype=np.uint8)
-                g_acc = np.concatenate([g_acc, pad])
-                h_acc = np.concatenate([h_acc, pad])
-                max_nm = nm
+            m = len(view.value_commitments)
+            nm = view.n * m
             rho = scalars.random_scalar()
-            dyn_sc, dyn_pts_b, g, h, b_sc, bb_sc = view.proof._verification_scalars(
-                view.transcript, view.value_commitments, view.n, bp_gens
+            lg = len(view.proof.ipp_proof.L_vec)
+            used_native = False
+            if have_native:
+                dyn = np.empty((4 + 2 * lg + m, 32), dtype=np.uint8)
+                used_native = view.proof._fold_native(
+                    view.transcript, view.value_commitments, view.n, bp_gens,
+                    rho, scalars.random_scalar(),
+                    dyn, g_acc[:nm], h_acc[:nm], b_buf, bb_buf,
+                )
+                if used_native:
+                    dyn_chunks.append(dyn)
+            if not used_native:
+                dyn_sc, dyn_pts_b, g, h, b_sc, bb_sc = view.proof._verification_scalars(
+                    view.transcript, view.value_commitments, view.n, bp_gens
+                )
+                dyn_chunks.append(
+                    scalarops.muls(scalarops.ints_to_array(dyn_sc), rho)
+                )
+                scalarops.axpy_(g_acc[:nm], g, rho)
+                scalarops.axpy_(h_acc[:nm], h, rho)
+                b_acc = (b_acc + b_sc * rho) % L
+                bb_acc = (bb_acc + bb_sc * rho) % L
+            # dynamic point order matches the dyn scalar layout:
+            # A, S, T_1, T_2, L_vec, R_vec, V_j
+            proof = view.proof
+            pts_b = (
+                [proof.A, proof.S, proof.T_1, proof.T_2]
+                + list(proof.ipp_proof.L_vec)
+                + list(proof.ipp_proof.R_vec)
+                + list(view.value_commitments)
             )
-            for sc, pb in zip(dyn_sc, dyn_pts_b):
-                dyn_scalars.append(sc * rho % L)
-                if device:
-                    # device path: keep encodings as bytes — the accelerator
-                    # gathers their limbs from the block's fused
-                    # decompression (whose valid flags gate the accept
-                    # predicate) without host point construction
-                    dyn_points.append(pb)
-                else:
-                    dyn_points.append(_decompress_cached(pb))
-            scalarops.axpy_(g_acc[:nm], g, rho)
-            scalarops.axpy_(h_acc[:nm], h, rho)
-            b_acc = (b_acc + b_sc * rho) % L
-            bb_acc = (bb_acc + bb_sc * rho) % L
+            if device:
+                # device path: keep encodings as bytes — the accelerator
+                # gathers their limbs from the block's fused decompression
+                # (whose valid flags gate the accept predicate) without
+                # host point construction
+                dyn_points.extend(pts_b)
+            else:
+                dyn_points.extend(_decompress_cached(pb) for pb in pts_b)
+
+        if b_acc or bb_acc:  # python-path contributions
+            b_buf[:] = scalarops.add(b_buf, scalarops.ints_to_array([b_acc]))
+            bb_buf[:] = scalarops.add(bb_buf, scalarops.ints_to_array([bb_acc]))
 
         n = views[0].n
-        scalars_all = np.concatenate(
-            [scalarops.ints_to_array(dyn_scalars + [b_acc, bb_acc]), g_acc, h_acc]
-        )
+        scalars_all = np.concatenate(dyn_chunks + [b_buf, bb_buf, g_acc, h_acc])
         if msm_check is not None:
             # shared generators ride a marker the accelerator expands from
             # its device-resident generator cache

@@ -21,8 +21,11 @@ def inner_product(a: list[int], b: list[int]) -> int:
 
 
 def sum_of_powers(x: int, n: int) -> int:
-    """x^0 + ... + x^(n-1) mod L."""
-    return sum(exp_iter(x, n)) % L
+    """x^0 + ... + x^(n-1) mod L (closed form: (x^n - 1) / (x - 1))."""
+    x %= L
+    if x == 1:
+        return n % L
+    return (pow(x, n, L) - 1) * pow(x - 1, L - 2, L) % L
 
 
 def delta(n: int, m: int, y: int, z: int) -> int:

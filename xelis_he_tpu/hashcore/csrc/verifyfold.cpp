@@ -1,0 +1,537 @@
+// Native verification-fold engine: per-proof Fiat-Shamir transcript replay
+// + Bulletproofs batch-verification scalar computation in ONE call.
+//
+// Host profile of whole-block verification shows the per-proof Python loop
+// (merlin framing, challenge reduction, scalar folds) dominating after the
+// device MSM was fused; this engine collapses a proof's entire
+// `_verification_scalars` (range_proof.py:174-247, mirroring the xelis
+// bulletproofs fork's verification_view fold, /root/reference/src/tx/
+// verify.rs:504-514) into one FFI round trip.
+//
+// Combines the STROBE-128 transcript (hashcore.cpp) and the 4x64 Montgomery
+// scalar engine (scalarops.cpp) in a single translation unit; built as
+// libxheverify.so by hashcore/verifyfold_native.py.
+
+#include "hashcore.cpp"
+#include "scalarops.cpp"
+
+namespace {
+
+// ---- transcript framing (merlin append/challenge semantics) ---------------
+
+inline void u32le(uint32_t v, uint8_t out[4]) {
+  out[0] = (uint8_t)v;
+  out[1] = (uint8_t)(v >> 8);
+  out[2] = (uint8_t)(v >> 16);
+  out[3] = (uint8_t)(v >> 24);
+}
+
+void t_append(Strobe *s, const char *label, size_t lab_len,
+              const uint8_t *msg, size_t len) {
+  uint8_t lenb[4];
+  u32le((uint32_t)len, lenb);
+  xhe_strobe_meta_ad(s, (const uint8_t *)label, lab_len, 0);
+  xhe_strobe_meta_ad(s, lenb, 4, 1);
+  xhe_strobe_ad(s, msg, len, 0);
+}
+
+void t_append_u64(Strobe *s, const char *label, size_t lab_len, uint64_t v) {
+  uint8_t b[8];
+  for (int i = 0; i < 8; ++i) b[i] = (uint8_t)(v >> (8 * i));
+  t_append(s, label, lab_len, b, 8);
+}
+
+void t_challenge(Strobe *s, const char *label, size_t lab_len, uint8_t *out,
+                 size_t n) {
+  uint8_t lenb[4];
+  u32le((uint32_t)n, lenb);
+  xhe_strobe_meta_ad(s, (const uint8_t *)label, lab_len, 0);
+  xhe_strobe_meta_ad(s, lenb, 4, 1);
+  xhe_strobe_prf(s, out, n, 0);
+}
+
+// 64-byte wide reduction mod L (merlin challenge_scalar semantics,
+// from_bytes_mod_order_wide): out = lo + hi*2^256 mod L.
+void wide_reduce(const uint8_t wide[64], u64 out[4]) {
+  u64 lo[4], hi[4], lom[4], lon[4], hir[4];
+  u64 one[4] = {1, 0, 0, 0};
+  load(wide, lo);
+  load(wide + 32, hi);
+  mont_mul(lo, R2m, lom);   // lo*R  (also reduces)
+  mont_mul(lom, one, lon);  // lo mod L
+  mont_mul(hi, R2m, hir);   // hi*2^512*R^-1 = hi*2^256 mod L
+  add_mod(lon, hir, out);
+}
+
+void challenge_scalar(Strobe *s, const char *label, size_t lab_len,
+                      u64 out[4]) {
+  uint8_t wide[64];
+  t_challenge(s, label, lab_len, wide, 64);
+  wide_reduce(wide, out);
+}
+
+inline bool is_zero32(const uint8_t *p) {
+  uint64_t acc = 0;
+  for (int i = 0; i < 4; ++i) {
+    uint64_t v;
+    std::memcpy(&v, p + 8 * i, 8);
+    acc |= v;
+  }
+  return acc == 0;
+}
+
+// x^e mod L for small integer e (binary ladder, Montgomery internally)
+void pow_small(const u64 x[4], uint64_t e, u64 out[4]) {
+  u64 xm[4], acc[4], one[4] = {1, 0, 0, 0};
+  mont_mul(x, R2m, xm);
+  std::memcpy(acc, R1m, 32);  // 1 in Montgomery form
+  for (int bit = 63; bit >= 0; --bit) {
+    u64 t[4];
+    mont_mul(acc, acc, t);
+    std::memcpy(acc, t, 32);
+    if ((e >> bit) & 1) {
+      mont_mul(acc, xm, t);
+      std::memcpy(acc, t, 32);
+    }
+  }
+  mont_mul(acc, one, out);
+}
+
+// sum_{i<n} x^i = (x^n - 1) / (x - 1)  (x != 1; crypto-random challenges)
+void sum_of_powers(const u64 x[4], uint64_t n, u64 out[4]) {
+  u64 one[4] = {1, 0, 0, 0};
+  u64 xm1[4];
+  sub_mod(x, one, xm1);
+  if (!(xm1[0] | xm1[1] | xm1[2] | xm1[3])) {
+    u64 nv[4] = {n, 0, 0, 0};
+    std::memcpy(out, nv, 32);
+    cond_reduce(out);
+    return;
+  }
+  u64 xn[4], num[4], inv[4];
+  pow_small(x, n, xn);
+  sub_mod(xn, one, num);
+  invert_one(xm1, inv);
+  mul_mod(num, inv, out);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Per-proof Bulletproofs batch-verification fold.  Replays the proof's
+// transcript segment on ``strobe`` (after executing ``pend``, the caller's
+// buffered op records) and emits this proof's contribution to the block's
+// random-linear-combination mega-MSM:
+//
+//   dyn_out   = rho * [1, x, c*x, c*x^2, u_sq[0..lg), u_inv_sq[0..lg),
+//               c*zz*z^j for j in [0,m)]               ((4+2*lg+m) x 32)
+//   g_acc[i] += rho * (-z - a*s[i])          for i < n_bits*m
+//   h_acc[i] += rho * (z + y^-i*(zz*z^(i/n)*2^(i%n) - b*s_inv[i]))
+//   b_acc   += rho * (w*(t_x - a*b) + c*(delta - t_x))
+//   bb_acc  += rho * (-e_blinding - c*t_x_blinding)
+//
+// pts = A||S||T1||T2 (4x32); lr = L_vec||R_vec (2*lg x 32);
+// sc3 = t_x||t_x_blinding||e_blinding; ab = a||b; V = m x 32.
+// Returns 0 on success, 1 if an identity point was appended (transcript
+// validation failure, transcript.rs:73-84 semantics).
+int xhe_bp_fold(Strobe *strobe, const uint8_t *pend, size_t pend_len,
+                const uint8_t *pts, const uint8_t *lr, size_t lg_n,
+                const uint8_t *sc3, const uint8_t *ab, const uint8_t *V,
+                size_t m, size_t n_bits, const uint8_t *rho_b,
+                const uint8_t *c_b, uint8_t *dyn_out, uint8_t *g_acc,
+                uint8_t *h_acc, uint8_t *b_acc, uint8_t *bb_acc) {
+  const size_t nm = n_bits * m;
+  if (pend_len) xhe_strobe_batch(strobe, pend, pend_len, nullptr);
+
+  // rangeproof dom-sep + V commitments (identity/dud V allowed)
+  t_append(strobe, "dom-sep", 7, (const uint8_t *)"rangeproof v1", 13);
+  t_append_u64(strobe, "n", 1, (uint64_t)n_bits);
+  t_append_u64(strobe, "m", 1, (uint64_t)m);
+  for (size_t j = 0; j < m; ++j) t_append(strobe, "V", 1, V + 32 * j, 32);
+
+  if (is_zero32(pts) || is_zero32(pts + 32)) return 1;
+  t_append(strobe, "A", 1, pts, 32);
+  t_append(strobe, "S", 1, pts + 32, 32);
+
+  u64 y[4], z[4];
+  challenge_scalar(strobe, "y", 1, y);
+  challenge_scalar(strobe, "z", 1, z);
+
+  if (is_zero32(pts + 64) || is_zero32(pts + 96)) return 1;
+  t_append(strobe, "T_1", 3, pts + 64, 32);
+  t_append(strobe, "T_2", 3, pts + 96, 32);
+
+  u64 x[4];
+  challenge_scalar(strobe, "x", 1, x);
+
+  t_append(strobe, "t_x", 3, sc3, 32);
+  t_append(strobe, "t_x_blinding", 12, sc3 + 32, 32);
+  t_append(strobe, "e_blinding", 10, sc3 + 64, 32);
+
+  u64 w[4];
+  challenge_scalar(strobe, "w", 1, w);
+
+  // inner-product argument rounds
+  t_append(strobe, "dom-sep", 7, (const uint8_t *)"ipp v1", 6);
+  t_append_u64(strobe, "n", 1, (uint64_t)nm);
+  u64 u[32][4];
+  for (size_t r = 0; r < lg_n; ++r) {
+    const uint8_t *Lp = lr + 32 * r;
+    const uint8_t *Rp = lr + 32 * (lg_n + r);
+    if (is_zero32(Lp) || is_zero32(Rp)) return 1;
+    t_append(strobe, "L", 1, Lp, 32);
+    t_append(strobe, "R", 1, Rp, 32);
+    challenge_scalar(strobe, "u", 1, u[r]);
+  }
+
+  // batch-invert [y, u_0..u_{lg-1}] with one Fermat inversion
+  u64 vals[33][4], pref[34][4], invs[33][4];
+  size_t k = lg_n + 1;
+  std::memcpy(vals[0], y, 32);
+  for (size_t r = 0; r < lg_n; ++r) std::memcpy(vals[r + 1], u[r], 32);
+  u64 one[4] = {1, 0, 0, 0};
+  std::memcpy(pref[0], one, 32);
+  for (size_t i = 0; i < k; ++i) mul_mod(pref[i], vals[i], pref[i + 1]);
+  u64 inv_all[4];
+  invert_one(pref[k], inv_all);
+  for (size_t i = k; i-- > 0;) {
+    mul_mod(pref[i], inv_all, invs[i]);
+    u64 t[4];
+    mul_mod(inv_all, vals[i], t);
+    std::memcpy(inv_all, t, 32);
+  }
+  u64 y_inv[4];
+  std::memcpy(y_inv, invs[0], 32);
+
+  u64 rho[4], c[4];
+  load(rho_b, rho);
+  load(c_b, c);
+  u64 rhom[4];  // rho in Montgomery form for cheap scaling
+  mont_mul(rho, R2m, rhom);
+
+  // dyn_out = rho * [1, x, c*x, c*x^2, u_sq..., u_inv_sq..., c*zz*z^j...]
+  u64 zz[4], cx[4], cxx[4];
+  mul_mod(z, z, zz);
+  mul_mod(c, x, cx);
+  mul_mod(cx, x, cxx);
+  {
+    u64 t[4];
+    store(dyn_out, rho);
+    mont_mul(x, rhom, t);
+    store(dyn_out + 32, t);
+    mont_mul(cx, rhom, t);
+    store(dyn_out + 64, t);
+    mont_mul(cxx, rhom, t);
+    store(dyn_out + 96, t);
+    for (size_t r = 0; r < lg_n; ++r) {
+      u64 usq[4], uisq[4];
+      mul_mod(u[r], u[r], usq);
+      mul_mod(invs[r + 1], invs[r + 1], uisq);
+      mont_mul(usq, rhom, t);
+      store(dyn_out + 32 * (4 + r), t);
+      mont_mul(uisq, rhom, t);
+      store(dyn_out + 32 * (4 + lg_n + r), t);
+    }
+  }
+
+  // s vector (normal form), then g/h accumulation
+  u64 *s = new u64[nm * 4];
+  {
+    u64 s0[4];
+    std::memcpy(s0, one, 32);
+    for (size_t r = 0; r < lg_n; ++r) {
+      u64 t[4];
+      mul_mod(s0, invs[r + 1], t);
+      std::memcpy(s0, t, 32);
+    }
+    std::memcpy(s, s0, 32);
+    u64 usqm[32][4];
+    for (size_t r = 0; r < lg_n; ++r) {
+      u64 usq[4];
+      mul_mod(u[r], u[r], usq);
+      mont_mul(usq, R2m, usqm[r]);
+    }
+    for (size_t i = 1; i < nm; ++i) {
+      size_t hb = 63 - __builtin_clzll((unsigned long long)i);
+      mont_mul(s + 4 * (i - ((size_t)1 << hb)), usqm[lg_n - 1 - hb], s + 4 * i);
+    }
+  }
+
+  // g_acc[i] += rho * (-z - a*s[i]);  scale = -rho*a (Montgomery), off = -rho*z
+  u64 a_sc[4], b_sc[4];
+  load(ab, a_sc);
+  load(ab + 32, b_sc);
+  u64 zero[4] = {0, 0, 0, 0};
+  u64 neg_a[4], neg_z[4], scale_m[4], off[4];
+  sub_mod(zero, a_sc, neg_a);
+  sub_mod(zero, z, neg_z);
+  u64 t0[4];
+  mul_mod(rho, neg_a, t0);
+  mont_mul(t0, R2m, scale_m);  // (-rho*a) in Montgomery form
+  mul_mod(rho, neg_z, off);    // -rho*z
+  for (size_t i = 0; i < nm; ++i) {
+    u64 gi[4], acc[4], t[4];
+    mont_mul(s + 4 * i, scale_m, gi);  // -rho*a*s[i]
+    add_mod(gi, off, t);
+    load(g_acc + 32 * i, acc);
+    add_mod(acc, t, gi);
+    store(g_acc + 32 * i, gi);
+  }
+
+  // h_acc[i] += rho * (z + y^-i * (zz*z^(i/n)*2^(i%n) - b*s_inv[i]))
+  {
+    u64 rho_z[4];
+    mul_mod(rho, z, rho_z);
+    u64 bm[4];
+    mont_mul(b_sc, R2m, bm);
+    u64 yi_m[4];  // rho * y^-i in Montgomery form, walked multiplicatively
+    std::memcpy(yi_m, rhom, 32);
+    u64 yinv_m[4];
+    mont_mul(y_inv, R2m, yinv_m);
+    // zz*z^j walked per party j, in Montgomery form
+    u64 czz_m[4];
+    mont_mul(zz, R2m, czz_m);  // j=0: zz (Montgomery)
+    u64 zm[4];
+    mont_mul(z, R2m, zm);
+    for (size_t j = 0; j < m; ++j) {
+      u64 cur[4];  // zz*z^j*2^k in Montgomery form
+      std::memcpy(cur, czz_m, 32);
+      for (size_t kbit = 0; kbit < n_bits; ++kbit) {
+        size_t i = j * n_bits + kbit;
+        u64 t1[4], t2[4], hi[4], acc[4];
+        mont_mul(s + 4 * (nm - 1 - i), bm, t1);  // b*s_inv[i]
+        u64 curn[4];
+        mont_mul(cur, one, curn);  // leave Montgomery domain
+        sub_mod(curn, t1, t2);     // zz*z^j*2^k - b*s_inv
+        mont_mul(t2, yi_m, hi);    // * rho*y^-i   (Montgomery scale)
+        add_mod(hi, rho_z, t2);    // + rho*z
+        load(h_acc + 32 * i, acc);
+        add_mod(acc, t2, hi);
+        store(h_acc + 32 * i, hi);
+        dbl_mod(cur);
+        u64 t3[4];
+        mont_mul(yi_m, yinv_m, t3);  // walk rho*y^-i
+        std::memcpy(yi_m, t3, 32);
+      }
+      u64 t4[4];
+      mont_mul(czz_m, zm, t4);  // walk zz*z^j
+      std::memcpy(czz_m, t4, 32);
+    }
+  }
+  delete[] s;
+
+  // value scalars: rho * c * zz * z^j
+  {
+    u64 czz[4];
+    mul_mod(c, zz, czz);
+    u64 cur[4];
+    mul_mod(czz, rho, cur);
+    u64 zm[4];
+    mont_mul(z, R2m, zm);
+    for (size_t j = 0; j < m; ++j) {
+      store(dyn_out + 32 * (4 + 2 * lg_n + j), cur);
+      u64 t[4];
+      mont_mul(cur, zm, t);
+      std::memcpy(cur, t, 32);
+    }
+  }
+
+  // delta(y, z) = (z - zz)*sum_y - zz*z*(2^n - 1)*sum_z
+  u64 delta[4];
+  {
+    u64 sum_y[4], sum_z[4], zmzz[4], t1[4], t2[4], t3[4];
+    sum_of_powers(y, nm, sum_y);
+    sum_of_powers(z, m, sum_z);
+    sub_mod(z, zz, zmzz);
+    mul_mod(zmzz, sum_y, t1);
+    u64 two_n[4] = {n_bits == 64 ? ~0ULL : (((uint64_t)1 << n_bits) - 1), 0, 0, 0};
+    u64 zzz[4];
+    mul_mod(zz, z, zzz);
+    mul_mod(zzz, two_n, t2);
+    mul_mod(t2, sum_z, t3);
+    sub_mod(t1, t3, delta);
+  }
+
+  // b_acc += rho * (w*(t_x - a*b) + c*(delta - t_x))
+  {
+    u64 t_x[4], ab_prod[4], t1[4], t2[4], t3[4], t4[4], acc[4];
+    load(sc3, t_x);
+    mul_mod(a_sc, b_sc, ab_prod);
+    sub_mod(t_x, ab_prod, t1);
+    mul_mod(w, t1, t2);
+    sub_mod(delta, t_x, t3);
+    mul_mod(c, t3, t4);
+    add_mod(t2, t4, t1);
+    mul_mod(t1, rho, t2);
+    load(b_acc, acc);
+    add_mod(acc, t2, t1);
+    store(b_acc, t1);
+  }
+
+  // bb_acc += rho * (-e_blinding - c*t_x_blinding)
+  {
+    u64 e_bl[4], t_xb[4], t1[4], t2[4], acc[4];
+    load(sc3 + 64, e_bl);
+    load(sc3 + 32, t_xb);
+    mul_mod(c, t_xb, t1);
+    add_mod(e_bl, t1, t2);
+    sub_mod(zero, t2, t1);
+    mul_mod(t1, rho, t2);
+    load(bb_acc, acc);
+    add_mod(acc, t2, t1);
+    store(bb_acc, t1);
+  }
+
+  return 0;
+}
+
+// CommitmentEqProof verifier fold (proofs.rs:134-211; sigma.py pre_verify).
+// Replays the proof's transcript segment (equality-proof dom-sep is part of
+// ``pend``) and emits the seven dynamic-lane scalars plus the shared-G/H
+// contributions, all scaled by the caller's random batch factor:
+//   out9 = bf * [z_s, -1, w*z_s, -w*c, -w, -ww*c, -ww,      (7 lanes)
+//                (w+ww)*z_x,                                 (G add)
+//                -c + ww*z_r]                                (H add)
+// Returns 0 ok, 1 if Y_0/Y_1/Y_2 is the identity encoding.
+int xhe_eq_fold(Strobe *strobe, const uint8_t *pend, size_t pend_len,
+                const uint8_t *Y, const uint8_t *zs3, const uint8_t *bf_b,
+                uint8_t *out9) {
+  if (pend_len) xhe_strobe_batch(strobe, pend, pend_len, nullptr);
+  for (int i = 0; i < 3; ++i)
+    if (is_zero32(Y + 32 * i)) return 1;
+  t_append(strobe, "Y_0", 3, Y, 32);
+  t_append(strobe, "Y_1", 3, Y + 32, 32);
+  t_append(strobe, "Y_2", 3, Y + 64, 32);
+  u64 cch[4];
+  challenge_scalar(strobe, "c", 1, cch);
+  t_append(strobe, "z_s", 3, zs3, 32);
+  t_append(strobe, "z_x", 3, zs3 + 32, 32);
+  t_append(strobe, "z_r", 3, zs3 + 64, 32);
+  u64 w[4];
+  challenge_scalar(strobe, "w", 1, w);
+
+  u64 z_s[4], z_x[4], z_r[4], bf[4], bfm[4], ww[4];
+  load(zs3, z_s);
+  load(zs3 + 32, z_x);
+  load(zs3 + 64, z_r);
+  load(bf_b, bf);
+  mont_mul(bf, R2m, bfm);
+  mul_mod(w, w, ww);
+
+  u64 zero[4] = {0, 0, 0, 0};
+  u64 t1[4], t2[4], neg[4];
+  // 0: z_s * bf
+  mont_mul(z_s, bfm, t1);
+  store(out9, t1);
+  // 1: -bf
+  sub_mod(zero, bf, t1);
+  store(out9 + 32, t1);
+  // 2: w*z_s*bf
+  mul_mod(w, z_s, t1);
+  mont_mul(t1, bfm, t2);
+  store(out9 + 64, t2);
+  // 3: -w*c*bf
+  mul_mod(w, cch, t1);
+  mont_mul(t1, bfm, t2);
+  sub_mod(zero, t2, neg);
+  store(out9 + 96, neg);
+  // 4: -w*bf
+  mont_mul(w, bfm, t1);
+  sub_mod(zero, t1, neg);
+  store(out9 + 128, neg);
+  // 5: -ww*c*bf
+  mul_mod(ww, cch, t1);
+  mont_mul(t1, bfm, t2);
+  sub_mod(zero, t2, neg);
+  store(out9 + 160, neg);
+  // 6: -ww*bf
+  mont_mul(ww, bfm, t1);
+  sub_mod(zero, t1, neg);
+  store(out9 + 192, neg);
+  // 7 (G): (w + ww)*z_x*bf
+  add_mod(w, ww, t1);
+  mul_mod(t1, z_x, t2);
+  mont_mul(t2, bfm, t1);
+  store(out9 + 224, t1);
+  // 8 (H): (-c + ww*z_r)*bf
+  mul_mod(ww, z_r, t1);
+  sub_mod(t1, cch, t2);
+  mont_mul(t2, bfm, t1);
+  store(out9 + 256, t1);
+  return 0;
+}
+
+// CiphertextValidityProof verifier fold (proofs.rs:281-361).
+//   out10 = bf * [-c, -1, w*z_r, -w*c, -w, ww*z_r, -ww*c, -ww,  (8 lanes)
+//                 z_x,                                           (G add)
+//                 z_r]                                           (H add)
+// Returns 0 ok, 1 on identity Y encoding.
+int xhe_validity_fold(Strobe *strobe, const uint8_t *pend, size_t pend_len,
+                      const uint8_t *Y, const uint8_t *zs2,
+                      const uint8_t *bf_b, uint8_t *out10) {
+  if (pend_len) xhe_strobe_batch(strobe, pend, pend_len, nullptr);
+  for (int i = 0; i < 3; ++i)
+    if (is_zero32(Y + 32 * i)) return 1;
+  t_append(strobe, "Y_0", 3, Y, 32);
+  t_append(strobe, "Y_1", 3, Y + 32, 32);
+  t_append(strobe, "Y_2", 3, Y + 64, 32);
+  u64 cch[4];
+  challenge_scalar(strobe, "c", 1, cch);
+  t_append(strobe, "z_r", 3, zs2, 32);
+  t_append(strobe, "z_x", 3, zs2 + 32, 32);
+  u64 w[4];
+  challenge_scalar(strobe, "w", 1, w);
+
+  u64 z_r[4], z_x[4], bf[4], bfm[4], ww[4];
+  load(zs2, z_r);
+  load(zs2 + 32, z_x);
+  load(bf_b, bf);
+  mont_mul(bf, R2m, bfm);
+  mul_mod(w, w, ww);
+
+  u64 zero[4] = {0, 0, 0, 0};
+  u64 t1[4], t2[4], neg[4];
+  // 0: -c*bf
+  mont_mul(cch, bfm, t1);
+  sub_mod(zero, t1, neg);
+  store(out10, neg);
+  // 1: -bf
+  sub_mod(zero, bf, t1);
+  store(out10 + 32, t1);
+  // 2: w*z_r*bf
+  mul_mod(w, z_r, t1);
+  mont_mul(t1, bfm, t2);
+  store(out10 + 64, t2);
+  // 3: -w*c*bf
+  mul_mod(w, cch, t1);
+  mont_mul(t1, bfm, t2);
+  sub_mod(zero, t2, neg);
+  store(out10 + 96, neg);
+  // 4: -w*bf
+  mont_mul(w, bfm, t1);
+  sub_mod(zero, t1, neg);
+  store(out10 + 128, neg);
+  // 5: ww*z_r*bf
+  mul_mod(ww, z_r, t1);
+  mont_mul(t1, bfm, t2);
+  store(out10 + 160, t2);
+  // 6: -ww*c*bf
+  mul_mod(ww, cch, t1);
+  mont_mul(t1, bfm, t2);
+  sub_mod(zero, t2, neg);
+  store(out10 + 192, neg);
+  // 7: -ww*bf
+  mont_mul(ww, bfm, t1);
+  sub_mod(zero, t1, neg);
+  store(out10 + 224, neg);
+  // 8 (G): z_x*bf
+  mont_mul(z_x, bfm, t1);
+  store(out10 + 256, t1);
+  // 9 (H): z_r*bf
+  mont_mul(z_r, bfm, t1);
+  store(out10 + 288, t1);
+  return 0;
+}
+
+}  // extern "C"

@@ -34,7 +34,9 @@ def _build() -> pathlib.Path:
 
 lib = ctypes.CDLL(str(_build()))
 
-_u8p = ctypes.POINTER(ctypes.c_uint8)
+# void* instead of u8*: callers pass ``arr.ctypes.data`` (a plain int),
+# which skips a ctypes cast object per argument on the hot path
+_u8p = ctypes.c_void_p
 _sz = ctypes.c_size_t
 
 for _name, _args in {

@@ -506,6 +506,265 @@ class Accelerator:
         idx.extend([extra_base] * (lane_total - len(idx)))  # identity padding
         return idx
 
+    # -- split-dispatch fused check -------------------------------------------
+    #
+    # Phase A (sigma + signature lanes) is dispatched right after pre_verify,
+    # so the device crunches it while the host does the range-proof fold;
+    # phase B (range lanes) consumes A's accumulators and packs everything
+    # into one output — the block still costs a single host sync.
+
+    def _phase_a_fn(self, ns: int, nk: int, m_block: int, e_pad: int):
+        key = ("A", ns, nk, m_block, e_pad)
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
+
+        curve = self.curve
+        lanes_fn = self._lanes_fn()
+
+        def _run_a(block_rows, extra_rows, idx, bits):
+            xp = curve.xp
+            all_rows = xp.concatenate([block_rows, extra_rows], axis=0)
+            rows = all_rows[idx]
+            points = tuple(rows[:, c, :] for c in range(4))
+            acc = lanes_fn(points, bits)  # (ns + 2nk, 18) x4
+            return xp.stack(acc, axis=1)  # (ns+2nk, 4, 18)
+
+        if self.backend == "jax":
+            import jax
+
+            fn = jax.jit(_run_a)
+        else:
+            fn = _run_a
+        cache[key] = fn
+        return fn
+
+    def _phase_b_fn(self, ns: int, nr: int, nk: int, m_block: int, k_gens: int, e_pad: int):
+        key = ("B", ns, nr, nk, m_block, k_gens, e_pad)
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
+
+        curve = self.curve
+        lanes_fn = self._lanes_fn()
+        use_pallas = self.use_pallas
+
+        def _run_b(acc_a, block_rows, gens_rows, extra_rows, idx, bits, valid):
+            xp = curve.xp
+            all_valid = (
+                valid.astype(xp.uint8).min()
+                if valid.shape[0]
+                else xp.ones((), dtype=xp.uint8)
+            )
+            all_rows = xp.concatenate([block_rows, gens_rows, extra_rows], axis=0)
+            rows = all_rows[idx]
+            points = tuple(rows[:, c, :] for c in range(4))
+            acc_r = lanes_fn(points, bits)  # range lanes
+            acc_s = tuple(acc_a[: ns, c, :] for c in range(4))
+            if use_pallas:
+                from .pallas_msm import TILE, tile_sums_pallas
+
+                sums_s = tile_sums_pallas(acc_s)
+                sigma = _tree_reduce_group(curve, sums_s, 0, ns // TILE)
+                sums_r = tile_sums_pallas(acc_r)
+                rng = _tree_reduce_group(curve, sums_r, 0, nr // TILE)
+            else:
+                sigma = _tree_reduce_group(curve, acc_s, 0, ns)
+                rng = _tree_reduce_group(curve, acc_r, 0, nr)
+            sigma_ok = curve.is_identity(tuple(c[None] for c in sigma))[0]
+            range_ok = curve.is_identity(tuple(c[None] for c in rng))[0]
+            if nk:
+                s_lanes = tuple(acc_a[ns : ns + nk, c, :] for c in range(4))
+                e_lanes = tuple(acc_a[ns + nk : ns + 2 * nk, c, :] for c in range(4))
+                r = curve.add(s_lanes, e_lanes)
+                if use_pallas:
+                    from .pallas_msm import compress_pallas
+
+                    r_bytes = compress_pallas(r)
+                else:
+                    r_bytes = curve.compress(r)
+            else:
+                r_bytes = xp.zeros((0, 32), dtype=xp.uint8)
+            flags = xp.concatenate(
+                [
+                    xp.reshape(sigma_ok, (1,)).astype(xp.uint8),
+                    xp.reshape(range_ok, (1,)).astype(xp.uint8),
+                    xp.reshape(all_valid, (1,)).astype(xp.uint8),
+                    xp.zeros((29,), dtype=xp.uint8),
+                ]
+            )[None, :]
+            return xp.concatenate([flags, r_bytes], axis=0)
+
+        if self.backend == "jax":
+            import jax
+
+            fn = jax.jit(_run_b)
+        else:
+            fn = _run_b
+        cache[key] = fn
+        return fn
+
+    def fused_block_begin(self, sigma, sig_entries):
+        """Dispatch the sigma + signature lanes WITHOUT waiting; the device
+        computes them while the caller folds the range proofs on host.
+        Returns an opaque phase-A handle for ``fused_block_finish``."""
+        from .. import scalars as sc
+        from ..elgamal import H as _H
+        from ..metrics import span
+
+        sigma_sc, sigma_pts = sigma
+        if self.use_pallas:
+            from .pallas_msm import TILE
+
+            ns = self._round_up(len(sigma_sc), TILE)
+            nk = self._round_up(len(sig_entries), TILE // 2) if sig_entries else 0
+        else:
+            ns = self._round_up(len(sigma_sc))
+            nk = self._round_up(len(sig_entries), 64) if sig_entries else 0
+
+        sig_s = [e[0].s for e in sig_entries]
+        sig_e = [(-e[0].e) % sc.L for e in sig_entries]
+        sig_pts = [
+            e[1] if isinstance(e[1], (bytes, bytearray)) or not hasattr(e[1], "point")
+            else e[1].point
+            for e in sig_entries
+        ]
+
+        with span("fused_check.prep_a"):
+            all_scalars = _np.concatenate(
+                [
+                    self._pad_scalar_bytes(sigma_sc, ns),
+                    self._pad_scalar_bytes(sig_s, nk),
+                    self._pad_scalar_bytes(sig_e, nk),
+                ]
+            )
+            block_rows = getattr(self, "_block_rows", None)
+            m_block = int(block_rows.shape[0]) if block_rows is not None else 0
+            extras: list[RistrettoPoint] = [IDENTITY]
+            idx: list[int] = []
+            for group_pts, group_total in (
+                (list(sigma_pts), ns),
+                ([_H] * len(sig_entries), nk),
+                (list(sig_pts), nk),
+            ):
+                idx.extend(
+                    self._resolve_lane_points(group_pts, group_total, m_block, 0, extras)
+                )
+            e_pad = self._round_up(len(extras), 64)
+            extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
+            extra_rows[: len(extras)] = self._points_to_rows(extras)
+            idx_arr = _np.asarray(idx, dtype=_np.int32)
+            bits = self._bits_for(all_scalars)
+            if block_rows is None:
+                block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
+            if self.backend == "jax":
+                import jax.numpy as jnp
+
+                bits = jnp.asarray(bits)
+                idx_arr = jnp.asarray(idx_arr)
+                extra_rows = jnp.asarray(extra_rows)
+                block_rows = jnp.asarray(block_rows)
+            fn = self._phase_a_fn(ns, nk, m_block, e_pad)
+            acc_a = fn(block_rows, extra_rows, idx_arr, bits)  # no sync
+        return {"acc_a": acc_a, "ns": ns, "nk": nk, "m_block": m_block,
+                "e_pad_a": e_pad, "sig_entries": sig_entries}
+
+    @staticmethod
+    def _pad_scalar_bytes(vals, n):
+        if isinstance(vals, _np.ndarray):
+            out = _np.zeros((n, 32), dtype=_np.uint8)
+            out[: vals.shape[0]] = vals
+            return out
+        from .. import scalarops
+        from .. import scalars as sc
+
+        out = _np.zeros((n, 32), dtype=_np.uint8)
+        if vals:
+            arr = scalarops.ints_to_array([v % sc.L for v in vals])
+            out[: arr.shape[0]] = arr
+        return out
+
+    def fused_block_finish(self, state, range_):
+        """Dispatch the range lanes, combine with phase A on device, and pull
+        the packed result — the block's single host sync."""
+        import hashlib
+
+        from .. import scalars as sc
+        from ..metrics import span
+
+        range_sc, range_pts = range_
+        sig_entries = state["sig_entries"]
+        ns, nk = state["ns"], state["nk"]
+        m_block = state["m_block"]
+        if self.use_pallas:
+            from .pallas_msm import TILE
+
+            nr = self._round_up(len(range_sc), TILE)
+        else:
+            nr = self._round_up(len(range_sc))
+
+        with span("fused_check.prep_b"):
+            scal = self._pad_scalar_bytes(range_sc, nr)
+            k_gens = 0
+            gens_rows = None
+            for p in range_pts:
+                if isinstance(p, tuple) and p and p[0] == "__bp_gens__":
+                    _, nb, m = p
+                    gens_rows = self._gens_rows(nb, m)
+                    k_gens = int(gens_rows.shape[0])
+                    break
+            extras: list[RistrettoPoint] = [IDENTITY]
+            idx = self._resolve_lane_points(list(range_pts), nr, m_block, k_gens, extras)
+            e_pad = self._round_up(len(extras), 64)
+            extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
+            extra_rows[: len(extras)] = self._points_to_rows(extras)
+            idx_arr = _np.asarray(idx, dtype=_np.int32)
+            bits = self._bits_for(scal)
+            block_rows = getattr(self, "_block_rows", None)
+            valid = getattr(self, "_block_valid", None)
+            if block_rows is None:
+                block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
+            if valid is None:
+                valid = _np.ones((block_rows.shape[0],), dtype=_np.uint32)
+            if gens_rows is None:
+                gens_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
+            if self.backend == "jax":
+                import jax.numpy as jnp
+
+                bits = jnp.asarray(bits)
+                idx_arr = jnp.asarray(idx_arr)
+                extra_rows = jnp.asarray(extra_rows)
+                block_rows = jnp.asarray(block_rows)
+                gens_rows = jnp.asarray(gens_rows)
+                valid = jnp.asarray(valid)
+            fn = self._phase_b_fn(ns, nr, nk, m_block, k_gens, e_pad)
+            pending = fn(
+                state["acc_a"], block_rows, gens_rows, extra_rows, idx_arr, bits, valid
+            )
+        with span("fused_check.pull"):
+            out = _np.asarray(pending)  # the single host sync
+        all_valid = bool(out[0, 2])
+        sigma_ok = bool(out[0, 0]) and all_valid
+        range_ok = bool(out[0, 1]) and all_valid
+        r_bytes = out[1:]
+        sig_ok = all_valid
+        if sig_ok:
+            for i, (sig, _pt, pk_compressed, message) in enumerate(sig_entries):
+                h = hashlib.sha3_512()
+                h.update(pk_compressed.data)
+                h.update(message)
+                h.update(bytes(r_bytes[i]))
+                if sc.from_bytes_mod_order_wide(h.digest()) != sig.e:
+                    sig_ok = False
+                    break
+        return sigma_ok, range_ok, sig_ok
+
     def _fused_check_fn(self, ns: int, nr: int, nk: int, m_block: int, k_gens: int, e_pad: int):
         """Build (and cache) the single-dispatch block-check kernel.
 
@@ -604,6 +863,7 @@ class Accelerator:
 
         from .. import scalars as sc
         from ..elgamal import H as _H
+        from ..metrics import span
 
         sigma_sc, sigma_pts = sigma
         range_sc, range_pts = range_
@@ -640,14 +900,15 @@ class Accelerator:
             for e in sig_entries
         ]
 
-        all_scalars = _np.concatenate(
-            [
-                pad_ints(sigma_sc, ns),
-                pad_ints(range_sc, nr),
-                pad_ints(sig_s, nk),
-                pad_ints(sig_e, nk),
-            ]
-        )
+        with span("fused_check.scalars"):
+            all_scalars = _np.concatenate(
+                [
+                    pad_ints(sigma_sc, ns),
+                    pad_ints(range_sc, nr),
+                    pad_ints(sig_s, nk),
+                    pad_ints(sig_e, nk),
+                ]
+            )
 
         # gens marker bookkeeping: K rows live between block rows and extras
         k_gens = 0
@@ -663,26 +924,28 @@ class Accelerator:
         m_block = int(block_rows.shape[0]) if block_rows is not None else 0
 
         # resolve each group separately so identity-padding lands per group
-        extras_all: list[RistrettoPoint] = [IDENTITY]
-        idx: list[int] = []
-        for group_pts, group_total in (
-            (list(sigma_pts), ns),
-            (list(range_pts), nr),
-            ([_H] * len(sig_entries), nk),
-            (list(sig_pts), nk),
-        ):
-            idx.extend(
-                self._resolve_lane_points(
-                    group_pts, group_total, m_block, k_gens, extras_all
+        with span("fused_check.resolve"):
+            extras_all: list[RistrettoPoint] = [IDENTITY]
+            idx: list[int] = []
+            for group_pts, group_total in (
+                (list(sigma_pts), ns),
+                (list(range_pts), nr),
+                ([_H] * len(sig_entries), nk),
+                (list(sig_pts), nk),
+            ):
+                idx.extend(
+                    self._resolve_lane_points(
+                        group_pts, group_total, m_block, k_gens, extras_all
+                    )
                 )
-            )
 
-        e_pad = self._round_up(len(extras_all), 64)
-        extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
-        extra_rows[: len(extras_all)] = self._points_to_rows(extras_all)
+            e_pad = self._round_up(len(extras_all), 64)
+            extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
+            extra_rows[: len(extras_all)] = self._points_to_rows(extras_all)
 
         idx_arr = _np.asarray(idx, dtype=_np.int32)
-        bits = self._bits_for(all_scalars)
+        with span("fused_check.recode"):
+            bits = self._bits_for(all_scalars)
         valid = getattr(self, "_block_valid", None)
         if block_rows is None:
             block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
@@ -701,9 +964,10 @@ class Accelerator:
             valid = jnp.asarray(valid)
 
         fn = self._fused_check_fn(ns, nr, nk, m_block, k_gens, e_pad)
-        out = _np.asarray(
-            fn(block_rows, gens_rows, extra_rows, idx_arr, bits, valid)
-        )  # host sync happens here, once
+        with span("fused_check.dispatch"):
+            pending = fn(block_rows, gens_rows, extra_rows, idx_arr, bits, valid)
+        with span("fused_check.pull"):
+            out = _np.asarray(pending)  # host sync happens here, once
         all_valid = bool(out[0, 2])
         sigma_ok = bool(out[0, 0]) and all_valid
         range_ok = bool(out[0, 1]) and all_valid

@@ -50,10 +50,15 @@ def _as_arr(x) -> np.ndarray:
     return ints_to_array(x)
 
 
-def _ptr(a: np.ndarray):
-    import ctypes
+def _one(v: int) -> np.ndarray:
+    """Single scalar as a (1, 32) array without list/join overhead."""
+    return np.frombuffer((v % L).to_bytes(32, "little"), dtype=np.uint8).reshape(1, 32)
 
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+def _ptr(a: np.ndarray) -> int:
+    # raw address int: the native argtypes are c_void_p, so no per-call
+    # ctypes cast object is allocated
+    return a.ctypes.data
 
 
 # -- batched ops --------------------------------------------------------------
@@ -75,7 +80,7 @@ def muls(a, s: int) -> np.ndarray:
     n = a.shape[0]
     if _lib is None:
         return ints_to_array([x * s % L for x in array_to_ints(a)])
-    sb = ints_to_array([s])
+    sb = _one(s)
     out = np.empty_like(a)
     _lib.xhe_sc_muls(_ptr(a), _ptr(sb), _ptr(out), n)
     return out
@@ -109,7 +114,7 @@ def axpy_(acc: np.ndarray, a, s: int) -> np.ndarray:
         )
         acc[:] = res
         return acc
-    sb = ints_to_array([s])
+    sb = _one(s)
     _lib.xhe_sc_axpy(_ptr(acc), _ptr(a), _ptr(sb), acc.shape[0])
     return acc
 
@@ -120,7 +125,7 @@ def affine(a, m: int, c: int) -> np.ndarray:
     if _lib is None:
         return ints_to_array([(x * m + c) % L for x in array_to_ints(a)])
     out = muls(a, m)
-    cb = np.tile(ints_to_array([c]), (a.shape[0], 1))
+    cb = np.tile(_one(c), (a.shape[0], 1))
     return add(out, cb)
 
 
@@ -128,7 +133,7 @@ def powers(x: int, n: int) -> np.ndarray:
     """[1, x, x^2, ..., x^(n-1)]."""
     if _lib is None:
         return ints_to_array(_exp_iter_py(x, n))
-    xb = ints_to_array([x])
+    xb = _one(x)
     out = np.empty((n, 32), dtype=np.uint8)
     _lib.xhe_sc_powers(_ptr(xb), _ptr(out), n)
     return out
@@ -202,7 +207,7 @@ def bp_h_vector(
         ]
         return ints_to_array(out)
     yp, zp, sa = _as_arr(y_inv_pow), _as_arr(z_pow), _as_arr(s)
-    zb, zzb, bb = ints_to_array([z]), ints_to_array([zz]), ints_to_array([b])
+    zb, zzb, bb = _one(z), _one(zz), _one(b)
     out = np.empty((nm, 32), dtype=np.uint8)
     _lib.xhe_sc_bp_h(
         _ptr(yp), _ptr(zp), _ptr(sa), _ptr(zb), _ptr(zzb), _ptr(bb), n_bits, m, _ptr(out)

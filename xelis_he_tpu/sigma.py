@@ -11,6 +11,13 @@ fallback uses pyref Pippenger.
 from __future__ import annotations
 
 from . import scalars
+from .errors import TranscriptError
+
+try:  # native verification-fold engine (one FFI call per proof)
+    from .hashcore.verifyfold_native import lib as _fold_lib
+except Exception:  # pragma: no cover - native build unavailable
+    _fold_lib = None
+
 from .elgamal import (
     DecryptHandle,
     ElGamalCiphertext,
@@ -201,18 +208,57 @@ class CommitmentEqProof:
         C_source = source_ciphertext.commitment
         D_source = source_ciphertext.handle
 
-        transcript.validate_and_append_point(b"Y_0", self.Y_0)
-        transcript.validate_and_append_point(b"Y_1", self.Y_1)
-        transcript.validate_and_append_point(b"Y_2", self.Y_2)
+        batch_factor = scalars.random_scalar()
+        nh = transcript.native_handle() if _fold_lib is not None else None
+        if nh is not None:
+            # one FFI call: transcript replay + all nine fold scalars
+            import numpy as _np
 
-        c = transcript.challenge_scalar(b"c")
+            from . import scalarops
 
-        transcript.append_scalar(b"z_s", self.z_s)
-        transcript.append_scalar(b"z_x", self.z_x)
-        transcript.append_scalar(b"z_r", self.z_r)
+            pend = transcript.take_pending()
+            out = _np.empty((9, 32), dtype=_np.uint8)
+            rc = _fold_lib.xhe_eq_fold(
+                nh, pend, len(pend),
+                self.Y_0 + self.Y_1 + self.Y_2,
+                scalarops.int_to_bytes32(self.z_s)
+                + scalarops.int_to_bytes32(self.z_x)
+                + scalarops.int_to_bytes32(self.z_r),
+                scalarops.int_to_bytes32(batch_factor),
+                out.ctypes.data,
+            )
+            if rc != 0:
+                raise TranscriptError("point should not be the identity")
+            raw = out.tobytes()
+            s = [int.from_bytes(raw[i * 32 : i * 32 + 32], "little") for i in range(9)]
+            batch_collector.g_scalar += s[7]
+            batch_collector.h_scalar += s[8]
+        else:
+            transcript.validate_and_append_point(b"Y_0", self.Y_0)
+            transcript.validate_and_append_point(b"Y_1", self.Y_1)
+            transcript.validate_and_append_point(b"Y_2", self.Y_2)
 
-        w = transcript.challenge_scalar(b"w")
-        ww = w * w % scalars.L
+            c = transcript.challenge_scalar(b"c")
+
+            transcript.append_scalar(b"z_s", self.z_s)
+            transcript.append_scalar(b"z_x", self.z_x)
+            transcript.append_scalar(b"z_r", self.z_r)
+
+            w = transcript.challenge_scalar(b"w")
+            ww = w * w % scalars.L
+
+            # w*z_x*G + ww*z_x*G ; -c*H + ww*z_r*H
+            batch_collector.g_scalar += (w * self.z_x + ww * self.z_x) * batch_factor
+            batch_collector.h_scalar += (-c + ww * self.z_r) * batch_factor
+            s = [
+                self.z_s * batch_factor,
+                -batch_factor,
+                w * self.z_s * batch_factor,
+                -w * c * batch_factor,
+                -w * batch_factor,
+                -ww * c * batch_factor,
+                -ww * batch_factor,
+            ]
 
         Y_0 = _entry(self.Y_0, "commitment_eq_proof", batch_collector)
         Y_1 = _entry(self.Y_1, "commitment_eq_proof", batch_collector)
@@ -220,27 +266,14 @@ class CommitmentEqProof:
         P_entry = _obj_entry(source_pubkey, batch_collector)
         C_dst_entry = _obj_entry(destination_commitment, batch_collector)
 
-        batch_factor = scalars.random_scalar()
-
-        # w*z_x*G + ww*z_x*G
-        batch_collector.g_scalar += (w * self.z_x + ww * self.z_x) * batch_factor
-        # -c*H + ww*z_r*H
-        batch_collector.h_scalar += (-c + ww * self.z_r) * batch_factor
-
         batch_collector.extend(
             zip(
-                [
-                    self.z_s * batch_factor,
-                    -batch_factor,
-                    -w * batch_factor,
-                    -ww * c * batch_factor,
-                    -ww * batch_factor,
-                ],
+                [s[0], s[1], s[4], s[5], s[6]],
                 [P_entry, Y_0, Y_1, C_dst_entry, Y_2],
             )
         )
-        _fold_obj(D_source, w * self.z_s * batch_factor, batch_collector)
-        _fold_obj(C_source, -w * c * batch_factor, batch_collector)
+        _fold_obj(D_source, s[2], batch_collector)
+        _fold_obj(C_source, s[3], batch_collector)
 
     def to_bytes(self) -> bytes:
         return (
@@ -318,41 +351,64 @@ class CiphertextValidityProof:
     ) -> None:
         transcript.ciphertext_validity_proof_domain_separator()
 
-        transcript.validate_and_append_point(b"Y_0", self.Y_0)
-        transcript.validate_and_append_point(b"Y_1", self.Y_1)
-        transcript.validate_and_append_point(b"Y_2", self.Y_2)
+        batch_factor = scalars.random_scalar()
+        nh = transcript.native_handle() if _fold_lib is not None else None
+        if nh is not None:
+            import numpy as _np
 
-        c = transcript.challenge_scalar(b"c")
+            from . import scalarops
 
-        transcript.append_scalar(b"z_r", self.z_r)
-        transcript.append_scalar(b"z_x", self.z_x)
+            pend = transcript.take_pending()
+            out = _np.empty((10, 32), dtype=_np.uint8)
+            rc = _fold_lib.xhe_validity_fold(
+                nh, pend, len(pend),
+                self.Y_0 + self.Y_1 + self.Y_2,
+                scalarops.int_to_bytes32(self.z_r)
+                + scalarops.int_to_bytes32(self.z_x),
+                scalarops.int_to_bytes32(batch_factor),
+                out.ctypes.data,
+            )
+            if rc != 0:
+                raise TranscriptError("point should not be the identity")
+            raw = out.tobytes()
+            s = [int.from_bytes(raw[i * 32 : i * 32 + 32], "little") for i in range(10)]
+            batch_collector.g_scalar += s[8]
+            batch_collector.h_scalar += s[9]
+        else:
+            transcript.validate_and_append_point(b"Y_0", self.Y_0)
+            transcript.validate_and_append_point(b"Y_1", self.Y_1)
+            transcript.validate_and_append_point(b"Y_2", self.Y_2)
 
-        w = transcript.challenge_scalar(b"w")
+            c = transcript.challenge_scalar(b"c")
+
+            transcript.append_scalar(b"z_r", self.z_r)
+            transcript.append_scalar(b"z_x", self.z_x)
+
+            w = transcript.challenge_scalar(b"w")
+
+            batch_collector.g_scalar += self.z_x * batch_factor
+            batch_collector.h_scalar += self.z_r * batch_factor
+
+            w_z_r = w * self.z_r % scalars.L
+            w_neg_c = -w * c % scalars.L
+            s = [
+                -c * batch_factor,
+                -batch_factor,
+                w_z_r * batch_factor,
+                w_neg_c * batch_factor,
+                -w * batch_factor,
+                w * w_z_r * batch_factor,
+                w * w_neg_c * batch_factor,
+                -w * w * batch_factor,
+            ]
 
         Y_0 = _entry(self.Y_0, "ciphertext_validity_proof", batch_collector)
         Y_1 = _entry(self.Y_1, "ciphertext_validity_proof", batch_collector)
         Y_2 = _entry(self.Y_2, "ciphertext_validity_proof", batch_collector)
 
-        batch_factor = scalars.random_scalar()
-
-        batch_collector.g_scalar += self.z_x * batch_factor
-        batch_collector.h_scalar += self.z_r * batch_factor
-
-        w_z_r = w * self.z_r % scalars.L
-        w_neg_c = -w * c % scalars.L
-
         batch_collector.extend(
             zip(
-                [
-                    -c * batch_factor,
-                    -batch_factor,
-                    w_z_r * batch_factor,
-                    w_neg_c * batch_factor,
-                    -w * batch_factor,
-                    w * w_z_r * batch_factor,
-                    w * w_neg_c * batch_factor,
-                    -w * w * batch_factor,
-                ],
+                s[:8],
                 [
                     _obj_entry(commitment, batch_collector),
                     Y_0,

@@ -362,8 +362,14 @@ def verify_batch(
             for tx, (transcript, commitments) in zip(txs, prepared)
         ]
         if accel is not None:
-            # ONE fused device dispatch: sigma MSM + range mega-MSM +
-            # every Schnorr signature, one host sync
+            # Split dispatch, single sync: the sigma + signature lanes are
+            # dispatched FIRST so the device crunches them (and the block
+            # decompression) while the host folds the range proofs; the
+            # range lanes then combine with phase A on device and the whole
+            # block costs ONE host sync.
+            with span("verify_batch.sigma_dispatch"):
+                sigma_sc, sigma_pts = sigma_batch_collector.msm_inputs()
+                state_a = accel.fused_block_begin((sigma_sc, sigma_pts), sig_entries)
             with span("verify_batch.range_fold"):
                 range_inputs = {"sc": [], "pts": []}
 
@@ -373,7 +379,6 @@ def verify_batch(
                     return None
 
                 RangeProof.verify_batch(views, BP_GENS, PC_GENS, msm_check=_capture)
-                sigma_sc, sigma_pts = sigma_batch_collector.msm_inputs()
             metrics.incr(
                 "verify_batch.sigma_msm_points", len(sigma_sc)
             )
@@ -381,10 +386,8 @@ def verify_batch(
                 "verify_batch.range_msm_points", len(range_inputs["sc"])
             )
             with span("verify_batch.device_checks"):
-                sigma_ok, range_ok, sigs_ok = accel.fused_block_check(
-                    (sigma_sc, sigma_pts),
-                    (range_inputs["sc"], range_inputs["pts"]),
-                    sig_entries,
+                sigma_ok, range_ok, sigs_ok = accel.fused_block_finish(
+                    state_a, (range_inputs["sc"], range_inputs["pts"])
                 )
             if not (sigma_ok and range_ok and sigs_ok):
                 # failure diagnostics (extra sync, failure path only): an
