@@ -32,6 +32,33 @@ from .field import (
 # Group order (same L as the scalar field; re-declared here to avoid a cycle)
 L = 2**252 + 27742317777372353535851937790883648493
 
+# Optional host C++ engine (hashcore/csrc/curve25519.cpp): mirrors these
+# exact formulas at ~20-100x the speed.  The pure-Python path below remains
+# the ground truth (RFC 9496 vectors + cross-checks in tests) and the
+# fallback; set XELIS_HE_TPU_NO_CURVE_NATIVE=1 to force it.
+try:  # pragma: no cover - exercised via the public API either way
+    from ..hashcore.curve_native import lib as _clib
+except Exception:  # pragma: no cover
+    _clib = None
+
+
+def _pack_pt(p: "RistrettoPoint") -> bytes:
+    return (
+        (p.X % P).to_bytes(32, "little")
+        + (p.Y % P).to_bytes(32, "little")
+        + (p.Z % P).to_bytes(32, "little")
+        + (p.T % P).to_bytes(32, "little")
+    )
+
+
+def _unpack_pt(b: bytes) -> "RistrettoPoint":
+    return RistrettoPoint(
+        int.from_bytes(b[0:32], "little"),
+        int.from_bytes(b[32:64], "little"),
+        int.from_bytes(b[64:96], "little"),
+        int.from_bytes(b[96:128], "little"),
+    )
+
 
 class RistrettoPoint:
     """A ristretto255 group element in extended Edwards coordinates (X:Y:Z:T),
@@ -49,6 +76,10 @@ class RistrettoPoint:
 
     def __add__(self, other: "RistrettoPoint") -> "RistrettoPoint":
         # Extended coordinates addition (add-2008-hwcd-3), a = -1.
+        if _clib is not None:
+            out = bytes(128)
+            _clib.xhe_pt_add(_pack_pt(self), _pack_pt(other), out)
+            return _unpack_pt(out)
         X1, Y1, Z1, T1 = self.X, self.Y, self.Z, self.T
         X2, Y2, Z2, T2 = other.X, other.Y, other.Z, other.T
         A = (Y1 - X1) * (Y2 - X2) % P
@@ -69,6 +100,10 @@ class RistrettoPoint:
 
     def double(self) -> "RistrettoPoint":
         # dbl-2008-hwcd, a = -1.
+        if _clib is not None:
+            out = bytes(128)
+            _clib.xhe_pt_dbl(_pack_pt(self), out)
+            return _unpack_pt(out)
         X1, Y1, Z1 = self.X, self.Y, self.Z
         A = X1 * X1 % P
         B = Y1 * Y1 % P
@@ -84,6 +119,10 @@ class RistrettoPoint:
 
     def scalar_mul(self, scalar: int) -> "RistrettoPoint":
         k = scalar % L
+        if _clib is not None:
+            out = bytes(128)
+            _clib.xhe_pt_mul(k.to_bytes(32, "little"), _pack_pt(self), out)
+            return _unpack_pt(out)
         acc = IDENTITY
         add = self
         while k:
@@ -98,6 +137,8 @@ class RistrettoPoint:
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, RistrettoPoint):
             return NotImplemented
+        if _clib is not None:
+            return bool(_clib.xhe_pt_eq(_pack_pt(self), _pack_pt(other)))
         # ristretto equality: X1*Y2 == Y1*X2 or X1*X2 == Y1*Y2
         a = (self.X * other.Y - self.Y * other.X) % P == 0
         b = (self.X * other.X - self.Y * other.Y) % P == 0
@@ -113,6 +154,10 @@ class RistrettoPoint:
 
     def compress(self) -> bytes:
         """Ristretto ENCODE (RFC 9496 §4.3.2)."""
+        if _clib is not None:
+            out = bytes(32)
+            _clib.xhe_pt_compress(_pack_pt(self), out)
+            return out
         X, Y, Z, T = self.X, self.Y, self.Z, self.T
         u1 = (Z + Y) * (Z - Y) % P
         u2 = X * Y % P
@@ -139,6 +184,11 @@ class RistrettoPoint:
         """Ristretto DECODE (RFC 9496 §4.3.1). Returns None for invalid encodings."""
         if len(data) != 32:
             return None
+        if _clib is not None:
+            out = bytes(128)
+            if not _clib.xhe_pt_decompress(bytes(data), out):
+                return None
+            return _unpack_pt(out)
         s = int.from_bytes(data, "little")
         # must be canonical and non-negative
         if s >= P or s & 1:
@@ -247,6 +297,12 @@ def multiscalar_mul(scalars, points) -> RistrettoPoint:
     n = len(points)
     if n == 0:
         return IDENTITY
+    if _clib is not None:
+        sc = b"".join(s.to_bytes(32, "little") for s in scalars)
+        pb = b"".join(_pack_pt(p) for p in points)
+        out = bytes(128)
+        _clib.xhe_pt_msm(sc, pb, n, out)
+        return _unpack_pt(out)
     # Pippenger with window size c
     c = 1
     while (1 << (c + 1)) < n and c < 16:
