@@ -334,6 +334,44 @@ class RangeProof:
             raise TranscriptError("point should not be the identity")
         return True
 
+    def queue_batch_fold(self, fold, value_commitments, n, bp_gens, rho, c):
+        """Deferred-mode fold: validate structure, drain the transcript's
+        pending ops into the tx's native fold script, and append the BP
+        record.  Returns (dyn_base, dyn_count, dyn_point_bytes)."""
+        from .. import scalarops
+
+        m = len(value_commitments)
+        if m == 0 or (m & (m - 1)) != 0:
+            raise ProofVerificationError("range_proof", "invalid aggregation size")
+        if n not in (8, 16, 32, 64):
+            raise ProofVerificationError("range_proof", "invalid bitsize")
+        if m > bp_gens.party_capacity:
+            raise ProofVerificationError("range_proof", "exceeds generator capacity")
+        ipp = self.ipp_proof
+        lg = len(ipp.L_vec)
+        if n * m == 0 or lg >= 32 or n * m != (1 << lg):
+            raise ProofVerificationError("range_proof", "ipp length mismatch")
+
+        base = fold.add_bp(
+            m, n, lg,
+            b"".join(value_commitments),
+            self.A + self.S + self.T_1 + self.T_2,
+            b"".join(ipp.L_vec) + b"".join(ipp.R_vec),
+            scalarops.int_to_bytes32(self.t_x)
+            + scalarops.int_to_bytes32(self.t_x_blinding)
+            + scalarops.int_to_bytes32(self.e_blinding),
+            scalarops.int_to_bytes32(ipp.a) + scalarops.int_to_bytes32(ipp.b),
+            scalarops.int_to_bytes32(rho),
+            scalarops.int_to_bytes32(c),
+        )
+        pts = (
+            [self.A, self.S, self.T_1, self.T_2]
+            + list(ipp.L_vec)
+            + list(ipp.R_vec)
+            + list(value_commitments)
+        )
+        return base, 4 + 2 * lg + m, pts
+
     @staticmethod
     def verify_batch(
         views: "list[RangeProofVerificationView]",

@@ -534,4 +534,79 @@ int xhe_validity_fold(Strobe *strobe, const uint8_t *pend, size_t pend_len,
   return 0;
 }
 
+// Whole-transaction fold script executor.  A script is a byte sequence of
+// records that replays the ENTIRE verifier transcript of one transaction
+// (sigma proofs + range proof) and emits every MSM scalar, in one FFI call:
+//
+//   kind 0 (OPS): u32 len, len bytes of strobe op records (merlin batch
+//                 format) — transcript appends between proofs
+//   kind 1 (EQ):  Y(96) z(96) bf(32)          -> writes 9 scalars
+//   kind 2 (VAL): Y(96) z(64) bf(32)          -> writes 10 scalars
+//   kind 3 (BP):  u32 m, u32 n_bits, u32 lg, V(m*32), pts(4*32),
+//                 lr(2*lg*32), sc3(96), ab(64), rho(32), c(32)
+//                 -> writes (4+2*lg+m) scalars; g/h/b/bb accumulate into
+//                    the caller's buffers
+//
+// Scalar outputs are written sequentially into ``out``.  The call touches
+// no Python state, so callers run one executor per transaction across a
+// thread pool (ctypes releases the GIL) — transactions fold in parallel
+// while remaining byte-exact serial within each transcript.
+// Returns 0 ok, 1 identity-point rejection, 2 malformed script.
+int xhe_tx_fold(Strobe *strobe, const uint8_t *script, size_t script_len,
+                uint8_t *out, uint8_t *g_acc, uint8_t *h_acc, uint8_t *b_acc,
+                uint8_t *bb_acc) {
+  size_t i = 0, w = 0;
+  while (i < script_len) {
+    uint8_t kind = script[i++];
+    if (kind == 0) {
+      if (i + 4 > script_len) return 2;
+      uint32_t len;
+      std::memcpy(&len, script + i, 4);
+      i += 4;
+      if (i + len > script_len) return 2;
+      xhe_strobe_batch(strobe, script + i, len, nullptr);
+      i += len;
+    } else if (kind == 1) {
+      if (i + 96 + 96 + 32 > script_len) return 2;
+      int rc = xhe_eq_fold(strobe, nullptr, 0, script + i, script + i + 96,
+                           script + i + 192, out + w);
+      if (rc) return rc;
+      i += 224;
+      w += 9 * 32;
+    } else if (kind == 2) {
+      if (i + 96 + 64 + 32 > script_len) return 2;
+      int rc = xhe_validity_fold(strobe, nullptr, 0, script + i,
+                                 script + i + 96, script + i + 160, out + w);
+      if (rc) return rc;
+      i += 192;
+      w += 10 * 32;
+    } else if (kind == 3) {
+      if (i + 12 > script_len) return 2;
+      uint32_t m, n_bits, lg;
+      std::memcpy(&m, script + i, 4);
+      std::memcpy(&n_bits, script + i + 4, 4);
+      std::memcpy(&lg, script + i + 8, 4);
+      i += 12;
+      size_t need = (size_t)m * 32 + 128 + (size_t)2 * lg * 32 + 96 + 64 + 64;
+      if (i + need > script_len || lg >= 32) return 2;
+      const uint8_t *V = script + i;
+      const uint8_t *pts = V + (size_t)m * 32;
+      const uint8_t *lr = pts + 128;
+      const uint8_t *sc3 = lr + (size_t)2 * lg * 32;
+      const uint8_t *ab = sc3 + 96;
+      const uint8_t *rho = ab + 64;
+      const uint8_t *c = rho + 32;
+      int rc = xhe_bp_fold(strobe, nullptr, 0, pts, lr, lg, sc3, ab, V, m,
+                           n_bits, rho, c, out + w, g_acc, h_acc, b_acc,
+                           bb_acc);
+      if (rc) return rc;
+      i += need;
+      w += (size_t)(4 + 2 * lg + m) * 32;
+    } else {
+      return 2;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -75,3 +75,12 @@ lib.xhe_validity_fold.argtypes = [
     _vp,       # out10
 ]
 lib.xhe_validity_fold.restype = ctypes.c_int
+
+lib.xhe_tx_fold.argtypes = [
+    _vp,       # Strobe*
+    _vp, _sz,  # script, script_len
+    _vp,       # out scalars
+    _vp, _vp,  # g_acc, h_acc
+    _vp, _vp,  # b_acc, bb_acc
+]
+lib.xhe_tx_fold.restype = ctypes.c_int

@@ -32,12 +32,63 @@ from .pyref.ristretto import BASEPOINT as G, RistrettoPoint, multiscalar_mul
 from .transcript import ProtocolTranscript
 
 
+class DeferredTxFold:
+    """One transaction's native fold script (csrc xhe_tx_fold): transcript
+    op segments and proof descriptors accumulate here during pre_verify and
+    execute later in ONE C++ call — many transactions' scripts run in
+    parallel across a thread pool (each is serial internally, preserving
+    Fiat-Shamir byte-exactness)."""
+
+    __slots__ = ("parts", "n_out", "transcript")
+
+    def __init__(self, transcript=None):
+        self.parts: list[bytes] = []
+        self.n_out = 0  # 32-byte scalars the script will emit
+        self.transcript = transcript
+
+    def drain_ops(self, transcript) -> None:
+        self.transcript = transcript
+        blob = transcript.take_pending()
+        if blob:
+            self.parts.append(b"\x00" + len(blob).to_bytes(4, "little") + blob)
+
+    def add_eq(self, Y: bytes, zs3: bytes, bf: bytes) -> int:
+        self.parts.append(b"\x01" + Y + zs3 + bf)
+        base = self.n_out
+        self.n_out += 9
+        return base
+
+    def add_val(self, Y: bytes, zs2: bytes, bf: bytes) -> int:
+        self.parts.append(b"\x02" + Y + zs2 + bf)
+        base = self.n_out
+        self.n_out += 10
+        return base
+
+    def add_bp(self, m, n_bits, lg, V, pts, lr, sc3, ab, rho, c) -> int:
+        self.parts.append(
+            b"\x03"
+            + m.to_bytes(4, "little") + n_bits.to_bytes(4, "little")
+            + lg.to_bytes(4, "little")
+            + V + pts + lr + sc3 + ab + rho + c
+        )
+        base = self.n_out
+        self.n_out += 4 + 2 * lg + m
+        return base
+
+    def script(self) -> bytes:
+        return b"".join(self.parts)
+
+
 class BatchCollector:
     """Deferred-MSM accumulator for sigma proof verification (proofs.rs:40-68).
 
     ``verify()`` computes  sum(dynamic) + g_scalar*G + h_scalar*H  and accepts
     iff it is the identity.  ``msm_fn`` may be swapped for the TPU engine's
     fused MSM (signature: (scalars, points) -> RistrettoPoint).
+
+    In DEFERRED mode (set_deferred, batched verification), scalars are not
+    computed inline: points are appended with a (tx, output-slot, coeff)
+    plan entry, and the native per-tx fold scripts later fill the values.
     """
 
     def __init__(self, msm_fn=None, wants_bytes: bool = False):
@@ -51,6 +102,37 @@ class BatchCollector:
         self.h_scalar = 0
         self.wants_bytes = wants_bytes
         self._msm = msm_fn or multiscalar_mul
+        # deferred-fold state: (tx_index, DeferredTxFold) while a tx's
+        # pre_verify runs; plan/plan_g/plan_h record how to resolve scalars
+        # from the fold outputs
+        self.deferred: tuple[int, DeferredTxFold] | None = None
+        self.plan: list = []    # (tx_i, out_idx, coeff) per dynamic point
+        self.plan_g: list = []  # (tx_i, out_idx, coeff) -> g_scalar
+        self.plan_h: list = []
+
+    def set_deferred(self, tx_i: int, fold: "DeferredTxFold") -> None:
+        self.deferred = (tx_i, fold)
+
+    def push_deferred(self, point, tx_i: int, out_idx: int, coeff: int) -> None:
+        self.dynamic_points.append(point)
+        self.plan.append((tx_i, out_idx, coeff))
+
+    def resolve_deferred(self, outs: list) -> None:
+        """Fill dynamic_scalars / g_scalar / h_scalar from the executed fold
+        outputs (outs[tx_i] = bytes of that tx's scalar array)."""
+        L = scalars.L
+
+        def val(tx_i, out_idx):
+            o = outs[tx_i]
+            return int.from_bytes(o[32 * out_idx : 32 * out_idx + 32], "little")
+
+        self.dynamic_scalars = [
+            (val(t, i) * c) % L for t, i, c in self.plan
+        ]
+        for t, i, c in self.plan_g:
+            self.g_scalar += val(t, i) * c
+        for t, i, c in self.plan_h:
+            self.h_scalar += val(t, i) * c
 
     def extend(self, scalar_point_pairs) -> None:
         for s, p in scalar_point_pairs:
@@ -134,6 +216,19 @@ def _fold_obj(obj, scale: int, collector: "BatchCollector") -> None:
     collector.extend(((scale, _obj_entry(obj, collector)),))
 
 
+def _fold_obj_deferred(obj, tx_i: int, out_idx: int, collector: "BatchCollector") -> None:
+    """Deferred-mode _fold_obj: the scale is fold output slot ``out_idx``,
+    known only after the native script runs."""
+    expr = getattr(obj, "_expr", None)
+    if expr is not None and obj._point is None:
+        if expr.g_coeff:
+            collector.plan_g.append((tx_i, out_idx, expr.g_coeff))
+        for c, a in expr.terms:
+            collector.push_deferred(a, tx_i, out_idx, c)
+        return
+    collector.push_deferred(_obj_entry(obj, collector), tx_i, out_idx, 1)
+
+
 class CommitmentEqProof:
     """Proves that a ciphertext (under the prover's key) and a Pedersen
     commitment commit to the same value (proofs.rs:24-223; algebra in
@@ -209,21 +304,46 @@ class CommitmentEqProof:
         D_source = source_ciphertext.handle
 
         batch_factor = scalars.random_scalar()
+        from . import scalarops
+
+        zs3 = (
+            scalarops.int_to_bytes32(self.z_s)
+            + scalarops.int_to_bytes32(self.z_x)
+            + scalarops.int_to_bytes32(self.z_r)
+        )
+        if batch_collector.deferred is not None:
+            # queue into the tx's native fold script (executes later, in
+            # parallel across txs); points + resolution plan recorded now
+            tx_i, fold = batch_collector.deferred
+            fold.drain_ops(transcript)
+            base = fold.add_eq(
+                self.Y_0 + self.Y_1 + self.Y_2, zs3,
+                scalarops.int_to_bytes32(batch_factor),
+            )
+            Y_0 = _entry(self.Y_0, "commitment_eq_proof", batch_collector)
+            Y_1 = _entry(self.Y_1, "commitment_eq_proof", batch_collector)
+            Y_2 = _entry(self.Y_2, "commitment_eq_proof", batch_collector)
+            P_entry = _obj_entry(source_pubkey, batch_collector)
+            C_dst_entry = _obj_entry(destination_commitment, batch_collector)
+            for off, p in zip((0, 1, 4, 5, 6), (P_entry, Y_0, Y_1, C_dst_entry, Y_2)):
+                batch_collector.push_deferred(p, tx_i, base + off, 1)
+            _fold_obj_deferred(D_source, tx_i, base + 2, batch_collector)
+            _fold_obj_deferred(C_source, tx_i, base + 3, batch_collector)
+            batch_collector.plan_g.append((tx_i, base + 7, 1))
+            batch_collector.plan_h.append((tx_i, base + 8, 1))
+            return
+
         nh = transcript.native_handle() if _fold_lib is not None else None
         if nh is not None:
             # one FFI call: transcript replay + all nine fold scalars
             import numpy as _np
-
-            from . import scalarops
 
             pend = transcript.take_pending()
             out = _np.empty((9, 32), dtype=_np.uint8)
             rc = _fold_lib.xhe_eq_fold(
                 nh, pend, len(pend),
                 self.Y_0 + self.Y_1 + self.Y_2,
-                scalarops.int_to_bytes32(self.z_s)
-                + scalarops.int_to_bytes32(self.z_x)
-                + scalarops.int_to_bytes32(self.z_r),
+                zs3,
                 scalarops.int_to_bytes32(batch_factor),
                 out.ctypes.data,
             )
@@ -352,11 +472,36 @@ class CiphertextValidityProof:
         transcript.ciphertext_validity_proof_domain_separator()
 
         batch_factor = scalars.random_scalar()
+        from . import scalarops
+
+        if batch_collector.deferred is not None:
+            tx_i, fold = batch_collector.deferred
+            fold.drain_ops(transcript)
+            base = fold.add_val(
+                self.Y_0 + self.Y_1 + self.Y_2,
+                scalarops.int_to_bytes32(self.z_r)
+                + scalarops.int_to_bytes32(self.z_x),
+                scalarops.int_to_bytes32(batch_factor),
+            )
+            pts = [
+                _obj_entry(commitment, batch_collector),
+                _entry(self.Y_0, "ciphertext_validity_proof", batch_collector),
+                _obj_entry(dest_pubkey, batch_collector),
+                _obj_entry(dest_handle, batch_collector),
+                _entry(self.Y_1, "ciphertext_validity_proof", batch_collector),
+                _obj_entry(source_pubkey, batch_collector),
+                _obj_entry(source_handle, batch_collector),
+                _entry(self.Y_2, "ciphertext_validity_proof", batch_collector),
+            ]
+            for off, p in enumerate(pts):
+                batch_collector.push_deferred(p, tx_i, base + off, 1)
+            batch_collector.plan_g.append((tx_i, base + 8, 1))
+            batch_collector.plan_h.append((tx_i, base + 9, 1))
+            return
+
         nh = transcript.native_handle() if _fold_lib is not None else None
         if nh is not None:
             import numpy as _np
-
-            from . import scalarops
 
             pend = transcript.take_pending()
             out = _np.empty((10, 32), dtype=_np.uint8)

@@ -304,6 +304,105 @@ def _collect_compressed(txs: list[Transaction]) -> list[bytes]:
     return list(seen)
 
 
+def _fused_deferred(
+    accel, txs, views, folds, collector, sig_entries, metrics, span
+):
+    """Deferred-fold block verification: queue every proof's transcript
+    replay + scalar fold into per-tx native scripts, execute them in
+    PARALLEL across a thread pool (the C++ executor releases the GIL; each
+    script is serial internally so Fiat-Shamir stays byte-exact), then run
+    the two fused device MSM checks with ONE host sync."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    from .. import scalarops, scalars
+    from ..errors import TranscriptError
+    from ..hashcore.verifyfold_native import lib as fold_lib
+
+    # queue the range-proof folds (drains each transcript's trailing ops)
+    max_nm = max(v.n * len(v.value_commitments) for v in views)
+    dyn_info = []
+    range_points: list = []
+    with span("verify_batch.range_queue"):
+        for view, fold in zip(views, folds):
+            rho = scalars.random_scalar()
+            c = scalars.random_scalar()
+            base, cnt, pts = view.proof.queue_batch_fold(
+                fold, view.value_commitments, view.n, BP_GENS, rho, c
+            )
+            dyn_info.append((base, cnt))
+            range_points.extend(pts)
+        from ..bulletproofs.generators import PC_GENS as _PC
+
+        range_points.append(_PC.B)
+        range_points.append(_PC.B_blinding)
+        range_points.append(("__bp_gens__", views[0].n, max_nm // views[0].n))
+
+    # execute all scripts in parallel: contiguous tx chunks, one worker
+    # thread + one g/h accumulator set per chunk (the C++ executor releases
+    # the GIL, so chunks fold concurrently)
+    n_txs = len(txs)
+    outs = [np.empty((max(f.n_out, 1), 32), dtype=np.uint8) for f in folds]
+    scripts = [f.script() for f in folds]
+    workers = max(1, min(8, os.cpu_count() or 1, n_txs))
+    bounds = [n_txs * k // workers for k in range(workers + 1)]
+    g_bufs = [np.zeros((max_nm, 32), dtype=np.uint8) for _ in range(workers)]
+    h_bufs = [np.zeros((max_nm, 32), dtype=np.uint8) for _ in range(workers)]
+    b_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(workers)]
+    bb_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(workers)]
+    rcs = [0] * n_txs
+
+    def run_chunk(ci: int) -> None:
+        g, h = g_bufs[ci].ctypes.data, h_bufs[ci].ctypes.data
+        b, bb = b_bufs[ci].ctypes.data, bb_bufs[ci].ctypes.data
+        for i in range(bounds[ci], bounds[ci + 1]):
+            rcs[i] = fold_lib.xhe_tx_fold(
+                folds[i].transcript.native_handle(),
+                scripts[i], len(scripts[i]),
+                outs[i].ctypes.data, g, h, b, bb,
+            )
+
+    with span("verify_batch.fold_exec"):
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(run_chunk, range(workers)))
+        else:
+            run_chunk(0)
+    for i, rc in enumerate(rcs):
+        if rc == 1:
+            raise TranscriptError("point should not be the identity")
+        if rc != 0:
+            raise ProofVerificationError("format", f"malformed fold script (tx {i})")
+
+    out_bytes = [o.tobytes() for o in outs]
+    with span("verify_batch.sigma_dispatch"):
+        collector.resolve_deferred(out_bytes)
+        sigma_sc, sigma_pts = collector.msm_inputs()
+        state_a = accel.fused_block_begin((sigma_sc, sigma_pts), sig_entries)
+    metrics.incr("verify_batch.sigma_msm_points", len(sigma_sc))
+
+    with span("verify_batch.range_fold"):
+        dyn_chunks = [
+            outs[i][base : base + cnt] for i, (base, cnt) in enumerate(dyn_info)
+        ]
+        g_total, h_total = g_bufs[0], h_bufs[0]
+        b_total, bb_total = b_bufs[0], bb_bufs[0]
+        for i in range(1, workers):
+            scalarops.axpy_(g_total, g_bufs[i], 1)
+            scalarops.axpy_(h_total, h_bufs[i], 1)
+            scalarops.axpy_(b_total, b_bufs[i], 1)
+            scalarops.axpy_(bb_total, bb_bufs[i], 1)
+        range_scalars = np.concatenate(
+            dyn_chunks + [b_total, bb_total, g_total, h_total]
+        )
+    metrics.incr("verify_batch.range_msm_points", len(range_points))
+
+    with span("verify_batch.device_checks"):
+        return accel.fused_block_finish(state_a, (range_scalars, range_points))
+
+
 def verify_batch(
     txs: list[Transaction],
     state: BlockchainVerificationState,
@@ -345,9 +444,21 @@ def verify_batch(
         sigma_batch_collector = BatchCollector(
             msm_fn=msm, wants_bytes=accel is not None
         )
+        deferred_folds = None
+        if accel is not None:
+            try:
+                from ..hashcore.verifyfold_native import lib as _fold_lib  # noqa: F401
+                from ..sigma import DeferredTxFold
+
+                deferred_folds = [DeferredTxFold() for _ in txs]
+            except Exception:  # pragma: no cover - native build unavailable
+                deferred_folds = None
+
         prepared = []
         with span("verify_batch.pre_verify"):
             for i, tx in enumerate(txs):
+                if deferred_folds is not None:
+                    sigma_batch_collector.set_deferred(i, deferred_folds[i])
                 transcript, commitments = pre_verify(
                     tx,
                     state,
@@ -356,12 +467,28 @@ def verify_batch(
                     tx_bytes_pair=tx_bytes_pairs[i] if tx_bytes_pairs else None,
                 )
                 prepared.append((transcript, commitments))
+            sigma_batch_collector.deferred = None
 
         views = [
             tx.range_proof.verification_view(transcript, commitments, 64)
             for tx, (transcript, commitments) in zip(txs, prepared)
         ]
-        if accel is not None:
+        if accel is not None and deferred_folds is not None:
+            sigma_ok, range_ok, sigs_ok = _fused_deferred(
+                accel, txs, views, deferred_folds, sigma_batch_collector,
+                sig_entries, metrics, span,
+            )
+            if not (sigma_ok and range_ok and sigs_ok):
+                if not all(accel.block_valid_flags()):
+                    raise ProofVerificationError(
+                        "decompression", "invalid point encoding in block"
+                    )
+                if not sigs_ok:
+                    raise ProofVerificationError("signature")
+                if not sigma_ok:
+                    raise ProofVerificationError("generic_proof", "sigma batch")
+                raise ProofVerificationError("range_proof", "batch verification equation")
+        elif accel is not None:
             # Split dispatch, single sync: the sigma + signature lanes are
             # dispatched FIRST so the device crunches them (and the block
             # decompression) while the host folds the range proofs; the
