@@ -1,0 +1,131 @@
+"""Reference-parity benchmark matrix (criterion configs, SURVEY.md §6 /
+/root/reference/benches/tx.rs):
+
+  A. create + verify a single tx with n transfers (tx.rs:10-127)
+  B. batch-verify N txs x 1 transfer (tx.rs:129-250)
+  C. aggregation stress: M txs x T transfers (tx.rs:231-233; default 16x64,
+     pass --full for the reference's 16x255)
+
+Usage: python scripts/bench_matrix.py [--backend jax|numpy|pyref] [--full]
+Prints one JSON line per configuration.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_block(n_txs, n_transfers):
+    from xelis_he_tpu import (
+        NATIVE_ASSET,
+        TransactionBuilder,
+        TransferBuilder,
+        TransfersBuilder,
+    )
+    from xelis_he_tpu.mock import Account, GenerationBalance, Ledger
+
+    ledger = Ledger()
+    receiver = Account([(NATIVE_ASSET, 0)])
+    pk_r = ledger.add_account(receiver)
+    txs = []
+    t0 = time.perf_counter()
+    for _ in range(n_txs):
+        sender = Account([(NATIVE_ASSET, 10_000_000)])
+        pk_s = ledger.add_account(sender)
+        builder = TransactionBuilder(
+            version=1,
+            source=pk_s,
+            data=TransfersBuilder(
+                [
+                    TransferBuilder(asset=NATIVE_ASSET, amount=10 + j, dest_pubkey=pk_r)
+                    for j in range(n_transfers)
+                ]
+            ),
+            fee=1,
+            nonce=0,
+        )
+        txs.append(
+            builder.build(
+                GenerationBalance({NATIVE_ASSET: 10_000_000}, sender), sender.keypair
+            )
+        )
+    build_s = time.perf_counter() - t0
+    return txs, ledger, build_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default=os.environ.get("XELIS_BENCH_BACKEND", "jax"))
+    ap.add_argument("--full", action="store_true", help="reference's 16x255 stress")
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    from xelis_he_tpu.tx.verify import verify_batch
+
+    accel = None
+    if args.backend != "pyref":
+        from xelis_he_tpu.ops.accel import Accelerator
+
+        accel = Accelerator(args.backend)
+
+    results = []
+
+    def timed_verify(txs, ledger):
+        verify_batch(txs, ledger.clone(), accel=accel)  # warmup/compile
+        best = float("inf")
+        for _ in range(args.iters):
+            state = ledger.clone()
+            t0 = time.perf_counter()
+            verify_batch(txs, state, accel=accel)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # A. single tx, n transfers (create + verify)
+    for n in (1, 2, 4, 8, 16):
+        txs, ledger, build_s = build_block(1, n)
+        best = timed_verify(txs, ledger)
+        rec = {
+            "config": f"single_tx_{n}_transfers",
+            "build_ms": round(build_s * 1000, 2),
+            "verify_ms": round(best * 1000, 3),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # B. batch sizes x 1 transfer
+    for n in (1, 4, 16, 64, 256):
+        txs, ledger, build_s = build_block(n, 1)
+        best = timed_verify(txs, ledger)
+        rec = {
+            "config": f"batch_{n}x1",
+            "build_ms_per_tx": round(build_s * 1000 / n, 2),
+            "verify_ms_per_tx": round(best * 1000 / n, 4),
+            "verify_ms_total": round(best * 1000, 2),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # C. aggregation stress
+    m, t = (16, 255) if args.full else (16, 64)
+    txs, ledger, build_s = build_block(m, t)
+    best = timed_verify(txs, ledger)
+    rec = {
+        "config": f"aggregation_{m}x{t}",
+        "build_ms_per_tx": round(build_s * 1000 / m, 1),
+        "verify_ms_per_tx": round(best * 1000 / m, 3),
+        "verify_ms_total": round(best * 1000, 1),
+    }
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

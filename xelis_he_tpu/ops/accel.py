@@ -524,9 +524,18 @@ class Accelerator:
 
         curve = self.curve
         lanes_fn = self._lanes_fn()
+        use_pallas = self.use_pallas
 
-        def _run_a(block_rows, extra_rows, idx, bits):
+        def _run_a(block_rows, extra_rows, idx, scal):
             xp = curve.xp
+            if use_pallas:
+                # raw 32-byte scalars ride the link; digits are recoded on
+                # device (8x less upload on the tunneled TPU)
+                from .pallas_msm import recode_signed4_xp
+
+                bits = recode_signed4_xp(scal, xp)
+            else:
+                bits = scal
             all_rows = xp.concatenate([block_rows, extra_rows], axis=0)
             rows = all_rows[idx]
             points = tuple(rows[:, c, :] for c in range(4))
@@ -555,8 +564,14 @@ class Accelerator:
         lanes_fn = self._lanes_fn()
         use_pallas = self.use_pallas
 
-        def _run_b(acc_a, block_rows, gens_rows, extra_rows, idx, bits, valid):
+        def _run_b(acc_a, block_rows, gens_rows, extra_rows, idx, scal, valid):
             xp = curve.xp
+            if use_pallas:
+                from .pallas_msm import recode_signed4_xp
+
+                bits = recode_signed4_xp(scal, xp)
+            else:
+                bits = scal
             all_valid = (
                 valid.astype(xp.uint8).min()
                 if valid.shape[0]
@@ -660,18 +675,18 @@ class Accelerator:
             extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
             extra_rows[: len(extras)] = self._points_to_rows(extras)
             idx_arr = _np.asarray(idx, dtype=_np.int32)
-            bits = self._bits_for(all_scalars)
+            payload = all_scalars if self.use_pallas else self._bits_for(all_scalars)
             if block_rows is None:
                 block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
             if self.backend == "jax":
                 import jax.numpy as jnp
 
-                bits = jnp.asarray(bits)
+                payload = jnp.asarray(payload)
                 idx_arr = jnp.asarray(idx_arr)
                 extra_rows = jnp.asarray(extra_rows)
                 block_rows = jnp.asarray(block_rows)
             fn = self._phase_a_fn(ns, nk, m_block, e_pad)
-            acc_a = fn(block_rows, extra_rows, idx_arr, bits)  # no sync
+            acc_a = fn(block_rows, extra_rows, idx_arr, payload)  # no sync
         return {"acc_a": acc_a, "ns": ns, "nk": nk, "m_block": m_block,
                 "e_pad_a": e_pad, "sig_entries": sig_entries}
 
@@ -725,7 +740,7 @@ class Accelerator:
             extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
             extra_rows[: len(extras)] = self._points_to_rows(extras)
             idx_arr = _np.asarray(idx, dtype=_np.int32)
-            bits = self._bits_for(scal)
+            payload = scal if self.use_pallas else self._bits_for(scal)
             block_rows = getattr(self, "_block_rows", None)
             valid = getattr(self, "_block_valid", None)
             if block_rows is None:
@@ -737,7 +752,7 @@ class Accelerator:
             if self.backend == "jax":
                 import jax.numpy as jnp
 
-                bits = jnp.asarray(bits)
+                payload = jnp.asarray(payload)
                 idx_arr = jnp.asarray(idx_arr)
                 extra_rows = jnp.asarray(extra_rows)
                 block_rows = jnp.asarray(block_rows)
@@ -745,7 +760,7 @@ class Accelerator:
                 valid = jnp.asarray(valid)
             fn = self._phase_b_fn(ns, nr, nk, m_block, k_gens, e_pad)
             pending = fn(
-                state["acc_a"], block_rows, gens_rows, extra_rows, idx_arr, bits, valid
+                state["acc_a"], block_rows, gens_rows, extra_rows, idx_arr, payload, valid
             )
         with span("fused_check.pull"):
             out = _np.asarray(pending)  # the single host sync

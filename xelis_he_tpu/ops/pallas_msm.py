@@ -857,6 +857,26 @@ def recode_signed4(scalars) -> _np.ndarray:
     return out
 
 
+def recode_signed4_xp(scalars_u8, xp):
+    """Device-traceable recode_signed4: (N, 32) uint8 canonical scalars ->
+    (64, N) uint32 signed digits stored as e_w + 8.  Same algebra as the
+    host recode; runs inside the phase-A/B jits so only the raw 32-byte
+    scalars ride the (slow) host->device link instead of 256-byte digit
+    rows."""
+    s = scalars_u8.astype(xp.int32)  # (N, 32)
+    lo = s & 0xF
+    hi = s >> 4
+    nibs = xp.stack([lo, hi], axis=2).reshape(s.shape[0], 64)
+    carry = xp.zeros((s.shape[0],), dtype=xp.int32)
+    outs = []
+    for w in range(64):
+        t = nibs[:, w] + carry
+        over = (t > 8).astype(xp.int32)
+        outs.append((t - 16 * over + 8).astype(xp.uint32))
+        carry = over
+    return xp.stack(outs, axis=0)
+
+
 def _windowed_kernel(consts_ref, digits_ref, pts_ref, out_ref):
     """Per-lane windowed double-and-add: out[lane] = s[lane] * P[lane].
 
