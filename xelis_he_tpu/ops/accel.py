@@ -53,10 +53,21 @@ def _tree_reduce_group(curve: Curve, acc, start: int, count: int):
 class Accelerator:
     """Fused-MSM executor on the batched limb engine."""
 
-    def __init__(self, backend: str = "jax", min_size: int = 16, use_pallas: bool | None = None):
+    def __init__(
+        self,
+        backend: str = "jax",
+        min_size: int = 16,
+        use_pallas: bool | None = None,
+        mesh=None,
+    ):
         self.backend = backend
         # below this size the pure-Python Pippenger beats kernel dispatch
         self.min_size = min_size
+        # multi-chip: a jax.sharding.Mesh with a 1-D "shards" axis shards the
+        # fused-check LANE dimension across devices (GSPMD inserts the
+        # cross-shard collectives for the reductions).  jnp engine only; the
+        # Pallas kernels need shard_map (single-chip for now).
+        self.mesh = mesh
         if backend == "jax":
             _enable_jax_compile_cache()
             import jax
@@ -545,7 +556,7 @@ class Accelerator:
         if self.backend == "jax":
             import jax
 
-            fn = jax.jit(_run_a)
+            fn = jax.jit(_run_a, in_shardings=self._phase_shardings(4))
         else:
             fn = _run_a
         cache[key] = fn
@@ -619,11 +630,27 @@ class Accelerator:
         if self.backend == "jax":
             import jax
 
-            fn = jax.jit(_run_b)
+            fn = jax.jit(_run_b, in_shardings=self._phase_shardings(7))
         else:
             fn = _run_b
         cache[key] = fn
         return fn
+
+    def _phase_shardings(self, n_args: int):
+        """in_shardings for the phase jits: lane-sharded idx + scalar
+        payload, replicated point rows.  None (auto) without a mesh."""
+        if self.mesh is None or self.backend != "jax" or self.use_pallas:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        repl = NamedSharding(self.mesh, P())
+        lane = NamedSharding(self.mesh, P(axis))
+        pay = NamedSharding(self.mesh, P(axis, None))
+        if n_args == 4:  # _run_a(block_rows, extra_rows, idx, payload)
+            return (repl, repl, lane, pay)
+        # _run_b(acc_a, block_rows, gens_rows, extra_rows, idx, payload, valid)
+        return (repl, repl, repl, repl, lane, pay, repl)
 
     def fused_block_begin(self, sigma, sig_entries):
         """Dispatch the sigma + signature lanes WITHOUT waiting; the device
