@@ -85,7 +85,8 @@ void pow_small(const u64 x[4], uint64_t e, u64 out[4]) {
   u64 xm[4], acc[4], one[4] = {1, 0, 0, 0};
   mont_mul(x, R2m, xm);
   std::memcpy(acc, R1m, 32);  // 1 in Montgomery form
-  for (int bit = 63; bit >= 0; --bit) {
+  int top = 63 - __builtin_clzll(e | 1);
+  for (int bit = top; bit >= 0; --bit) {
     u64 t[4];
     mont_mul(acc, acc, t);
     std::memcpy(acc, t, 32);
@@ -185,12 +186,17 @@ int xhe_bp_fold(Strobe *strobe, const uint8_t *pend, size_t pend_len,
     challenge_scalar(strobe, "u", 1, u[r]);
   }
 
-  // batch-invert [y, u_0..u_{lg-1}] with one Fermat inversion
-  u64 vals[33][4], pref[34][4], invs[33][4];
-  size_t k = lg_n + 1;
+  // batch-invert [y, u_0..u_{lg-1}, y-1, z-1] with ONE Fermat inversion
+  // (y-1 / z-1 feed the closed-form geometric sums in delta)
+  u64 vals[35][4], pref[36][4], invs[35][4];
+  size_t k = lg_n + 3;
+  u64 one[4] = {1, 0, 0, 0};
   std::memcpy(vals[0], y, 32);
   for (size_t r = 0; r < lg_n; ++r) std::memcpy(vals[r + 1], u[r], 32);
-  u64 one[4] = {1, 0, 0, 0};
+  u64 z_loc[4];
+  mul_mod(z, one, z_loc);  // reduce (challenges are already < L; keep safe)
+  sub_mod(y, one, vals[lg_n + 1]);
+  sub_mod(z_loc, one, vals[lg_n + 2]);
   std::memcpy(pref[0], one, 32);
   for (size_t i = 0; i < k; ++i) mul_mod(pref[i], vals[i], pref[i + 1]);
   u64 inv_all[4];
@@ -203,6 +209,8 @@ int xhe_bp_fold(Strobe *strobe, const uint8_t *pend, size_t pend_len,
   }
   u64 y_inv[4];
   std::memcpy(y_inv, invs[0], 32);
+  u64 *ym1_inv = invs[lg_n + 1];
+  u64 *zm1_inv = invs[lg_n + 2];
 
   u64 rho[4], c[4];
   load(rho_b, rho);
@@ -337,12 +345,20 @@ int xhe_bp_fold(Strobe *strobe, const uint8_t *pend, size_t pend_len,
     }
   }
 
-  // delta(y, z) = (z - zz)*sum_y - zz*z*(2^n - 1)*sum_z
+  // delta(y, z) = (z - zz)*sum_y - zz*z*(2^n - 1)*sum_z, with the
+  // geometric sums from the batched inverses: sum = (x^n - 1)/(x - 1)
   u64 delta[4];
   {
     u64 sum_y[4], sum_z[4], zmzz[4], t1[4], t2[4], t3[4];
-    sum_of_powers(y, nm, sum_y);
-    sum_of_powers(z, m, sum_z);
+    {
+      u64 xn[4], num[4];
+      pow_small(y, nm, xn);
+      sub_mod(xn, one, num);
+      mul_mod(num, ym1_inv, sum_y);
+      pow_small(z, m, xn);
+      sub_mod(xn, one, num);
+      mul_mod(num, zm1_inv, sum_z);
+    }
     sub_mod(z, zz, zmzz);
     mul_mod(zmzz, sum_y, t1);
     u64 two_n[4] = {n_bits == 64 ? ~0ULL : (((uint64_t)1 << n_bits) - 1), 0, 0, 0};

@@ -119,16 +119,45 @@ class BatchCollector:
 
     def resolve_deferred(self, outs: list) -> None:
         """Fill dynamic_scalars / g_scalar / h_scalar from the executed fold
-        outputs (outs[tx_i] = bytes of that tx's scalar array)."""
-        L = scalars.L
+        outputs (outs[tx_i] = (n_out, 32) uint8 array of that tx's scalars).
 
-        def val(tx_i, out_idx):
-            o = outs[tx_i]
-            return int.from_bytes(o[32 * out_idx : 32 * out_idx + 32], "little")
+        Scalars stay as a BYTE ARRAY (no int round trips): dynamic plan
+        coefficients are always ±1 (homomorphic-expression terms), so the
+        resolution is one gather plus a vectorized negation of the minus
+        rows; g/h contributions (a few per proof) resolve as ints."""
+        import numpy as _np
 
-        self.dynamic_scalars = [
-            (val(t, i) * c) % L for t, i, c in self.plan
-        ]
+        from . import scalarops
+
+        offsets = []
+        total = 0
+        for o in outs:
+            offsets.append(total)
+            total += o.shape[0]
+        all_outs = _np.concatenate(outs) if outs else _np.zeros((0, 32), _np.uint8)
+
+        idx = _np.fromiter(
+            (offsets[t] + i for t, i, _ in self.plan), dtype=_np.int64,
+            count=len(self.plan),
+        )
+        gathered = all_outs[idx]
+        neg_rows = _np.fromiter(
+            (j for j, (_, _, c) in enumerate(self.plan) if c == -1),
+            dtype=_np.int64,
+        )
+        for j, (_, _, c) in enumerate(self.plan):
+            assert c in (1, -1), "expression coefficients are always ±1"
+        if neg_rows.size:
+            sub = gathered[neg_rows]
+            gathered[neg_rows] = scalarops.sub(
+                _np.zeros_like(sub), sub
+            )
+        self.dynamic_scalars = gathered
+
+        def val(t, i):
+            o = outs[t]
+            return int.from_bytes(o[i].tobytes(), "little")
+
         for t, i, c in self.plan_g:
             self.g_scalar += val(t, i) * c
         for t, i, c in self.plan_h:
@@ -161,9 +190,20 @@ class BatchCollector:
 
     def msm_inputs(self):
         """The collector's full (scalars, points) MSM input including the
-        shared G/H slots."""
+        shared G/H slots.  Scalars may be a list[int] or an (n, 32) uint8
+        array (deferred mode) — consumers accept both."""
+        gh = [self.g_scalar % scalars.L, self.h_scalar % scalars.L]
+        if not isinstance(self.dynamic_scalars, list):
+            import numpy as _np
+
+            from . import scalarops
+
+            return (
+                _np.concatenate([self.dynamic_scalars, scalarops.ints_to_array(gh)]),
+                self.dynamic_points + [G, H],
+            )
         return (
-            self.dynamic_scalars + [self.g_scalar % scalars.L, self.h_scalar % scalars.L],
+            self.dynamic_scalars + gh,
             self.dynamic_points + [G, H],
         )
 

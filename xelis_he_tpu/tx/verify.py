@@ -376,9 +376,8 @@ def _fused_deferred(
         if rc != 0:
             raise ProofVerificationError("format", f"malformed fold script (tx {i})")
 
-    out_bytes = [o.tobytes() for o in outs]
     with span("verify_batch.sigma_dispatch"):
-        collector.resolve_deferred(out_bytes)
+        collector.resolve_deferred(outs)
         sigma_sc, sigma_pts = collector.msm_inputs()
         state_a = accel.fused_block_begin((sigma_sc, sigma_pts), sig_entries)
     metrics.incr("verify_batch.sigma_msm_points", len(sigma_sc))
