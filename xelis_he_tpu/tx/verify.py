@@ -304,16 +304,109 @@ def _collect_compressed(txs: list[Transaction]) -> list[bytes]:
     return list(seen)
 
 
+class _FoldWorker:
+    """Persistent background thread for the native per-tx fold scripts, with
+    main-thread work stealing.
+
+    The C++ executor (xhe_tx_fold) releases the GIL, so one worker thread
+    folds completed transactions WHILE the main thread keeps running
+    pre_verify on later ones — the two host cores stay busy.  After the
+    main thread finishes producing jobs it drains the remaining queue
+    itself (work stealing), then waits for the worker's in-flight job."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.SimpleQueue()
+        self._lock = threading.Lock()
+        self._done = threading.Event()
+        self._pending = 0
+        self._closed = False
+        self._run = None
+        self._error = None
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="xelis-fold"
+        )
+        self._thread.start()
+
+    def _loop(self):
+        while True:
+            self._exec(self._q.get())
+
+    def _exec(self, i):
+        try:
+            self._run(i)
+        except BaseException as e:  # surfaced from drain()
+            self._error = e
+        finally:
+            with self._lock:
+                self._pending -= 1
+                if self._pending == 0 and self._closed:
+                    self._done.set()
+
+    def begin(self, run_fn):
+        self._run = run_fn
+        self._pending = 0
+        self._closed = False
+        self._error = None
+        self._done.clear()
+
+    def submit(self, i):
+        with self._lock:
+            self._pending += 1
+        self._q.put(i)
+
+    def drain(self):
+        import queue
+
+        while True:
+            try:
+                i = self._q.get_nowait()
+            except queue.Empty:
+                break
+            self._exec(i)
+        with self._lock:
+            self._closed = True
+            done = self._pending == 0
+        if not done:
+            self._done.wait()
+        if self._error is not None:
+            raise self._error
+
+
+_fold_worker: _FoldWorker | None = None
+
+
+def _get_fold_worker() -> _FoldWorker:
+    global _fold_worker
+    if _fold_worker is None:
+        _fold_worker = _FoldWorker()
+    return _fold_worker
+
+
+def _tx_padded_commitments(tx: Transaction) -> int:
+    n = len(tx.new_source_commitments) + (
+        len(tx.data) if isinstance(tx.data, list) else 0
+    )
+    return 1 << (n - 1).bit_length() if n > 1 else 1
+
+
 def _fused_deferred(
-    accel, txs, views, folds, collector, sig_entries, metrics, span
+    accel, txs, state, collector, folds, sig_entries, tx_bytes_pairs,
+    metrics, span,
 ):
-    """Deferred-fold block verification: queue every proof's transcript
-    replay + scalar fold into per-tx native scripts, execute them in
-    PARALLEL across a thread pool (the C++ executor releases the GIL; each
-    script is serial internally so Fiat-Shamir stays byte-exact), then run
-    the two fused device MSM checks with ONE host sync."""
-    import os
-    from concurrent.futures import ThreadPoolExecutor
+    """Pipelined deferred-fold block verification.
+
+    Per tx (main thread): pre_verify -> range-proof view -> queue the whole
+    transcript replay + scalar fold as ONE native script, then hand the
+    script to the persistent fold worker.  The worker executes scripts
+    (GIL-free C++) concurrently with the main thread's pre_verify of later
+    transactions; each script is serial internally so Fiat-Shamir stays
+    byte-exact.  After the last submission the main thread steals the
+    remaining jobs, then the two fused device MSM checks run with ONE host
+    sync."""
+    import threading
 
     import numpy as np
 
@@ -321,55 +414,63 @@ def _fused_deferred(
     from ..errors import TranscriptError
     from ..hashcore.verifyfold_native import lib as fold_lib
 
-    # queue the range-proof folds (drains each transcript's trailing ops)
-    max_nm = max(v.n * len(v.value_commitments) for v in views)
+    n_txs = len(txs)
+    max_nm = max(64 * _tx_padded_commitments(tx) for tx in txs)
+
+    # two accumulator sets: index 0 for the worker thread, 1 for main
+    g_bufs = [np.zeros((max_nm, 32), dtype=np.uint8) for _ in range(2)]
+    h_bufs = [np.zeros((max_nm, 32), dtype=np.uint8) for _ in range(2)]
+    b_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(2)]
+    bb_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(2)]
+    outs: list = [None] * n_txs
+    scripts: list = [None] * n_txs
+    rcs = [0] * n_txs
+
+    worker = _get_fold_worker()
+    worker_ident = worker._thread.ident
+
+    def run_one(i: int) -> None:
+        ci = 0 if threading.get_ident() == worker_ident else 1
+        rcs[i] = fold_lib.xhe_tx_fold(
+            folds[i].transcript.native_handle(),
+            scripts[i], len(scripts[i]),
+            outs[i].ctypes.data,
+            g_bufs[ci].ctypes.data, h_bufs[ci].ctypes.data,
+            b_bufs[ci].ctypes.data, bb_bufs[ci].ctypes.data,
+        )
+
+    worker.begin(run_one)
+
     dyn_info = []
     range_points: list = []
-    with span("verify_batch.range_queue"):
-        for view, fold in zip(views, folds):
+    with span("verify_batch.pre_verify"):
+        for i, tx in enumerate(txs):
+            collector.set_deferred(i, folds[i])
+            transcript, commitments = pre_verify(
+                tx,
+                state,
+                collector,
+                sig_entries=sig_entries,
+                tx_bytes_pair=tx_bytes_pairs[i] if tx_bytes_pairs else None,
+            )
+            view = tx.range_proof.verification_view(transcript, commitments, 64)
             rho = scalars.random_scalar()
             c = scalars.random_scalar()
             base, cnt, pts = view.proof.queue_batch_fold(
-                fold, view.value_commitments, view.n, BP_GENS, rho, c
+                folds[i], view.value_commitments, view.n, BP_GENS, rho, c
             )
             dyn_info.append((base, cnt))
             range_points.extend(pts)
-        from ..bulletproofs.generators import PC_GENS as _PC
+            outs[i] = np.empty((max(folds[i].n_out, 1), 32), dtype=np.uint8)
+            scripts[i] = folds[i].script()
+            worker.submit(i)
+        collector.deferred = None
+        range_points.append(PC_GENS.B)
+        range_points.append(PC_GENS.B_blinding)
+        range_points.append(("__bp_gens__", 64, max_nm // 64))
 
-        range_points.append(_PC.B)
-        range_points.append(_PC.B_blinding)
-        range_points.append(("__bp_gens__", views[0].n, max_nm // views[0].n))
-
-    # execute all scripts in parallel: contiguous tx chunks, one worker
-    # thread + one g/h accumulator set per chunk (the C++ executor releases
-    # the GIL, so chunks fold concurrently)
-    n_txs = len(txs)
-    outs = [np.empty((max(f.n_out, 1), 32), dtype=np.uint8) for f in folds]
-    scripts = [f.script() for f in folds]
-    workers = max(1, min(8, os.cpu_count() or 1, n_txs))
-    bounds = [n_txs * k // workers for k in range(workers + 1)]
-    g_bufs = [np.zeros((max_nm, 32), dtype=np.uint8) for _ in range(workers)]
-    h_bufs = [np.zeros((max_nm, 32), dtype=np.uint8) for _ in range(workers)]
-    b_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(workers)]
-    bb_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(workers)]
-    rcs = [0] * n_txs
-
-    def run_chunk(ci: int) -> None:
-        g, h = g_bufs[ci].ctypes.data, h_bufs[ci].ctypes.data
-        b, bb = b_bufs[ci].ctypes.data, bb_bufs[ci].ctypes.data
-        for i in range(bounds[ci], bounds[ci + 1]):
-            rcs[i] = fold_lib.xhe_tx_fold(
-                folds[i].transcript.native_handle(),
-                scripts[i], len(scripts[i]),
-                outs[i].ctypes.data, g, h, b, bb,
-            )
-
-    with span("verify_batch.fold_exec"):
-        if workers > 1:
-            with ThreadPoolExecutor(max_workers=workers) as ex:
-                list(ex.map(run_chunk, range(workers)))
-        else:
-            run_chunk(0)
+    with span("verify_batch.fold_drain"):
+        worker.drain()
     for i, rc in enumerate(rcs):
         if rc == 1:
             raise TranscriptError("point should not be the identity")
@@ -388,11 +489,10 @@ def _fused_deferred(
         ]
         g_total, h_total = g_bufs[0], h_bufs[0]
         b_total, bb_total = b_bufs[0], bb_bufs[0]
-        for i in range(1, workers):
-            scalarops.axpy_(g_total, g_bufs[i], 1)
-            scalarops.axpy_(h_total, h_bufs[i], 1)
-            scalarops.axpy_(b_total, b_bufs[i], 1)
-            scalarops.axpy_(bb_total, bb_bufs[i], 1)
+        scalarops.axpy_(g_total, g_bufs[1], 1)
+        scalarops.axpy_(h_total, h_bufs[1], 1)
+        scalarops.axpy_(b_total, b_bufs[1], 1)
+        scalarops.axpy_(bb_total, bb_bufs[1], 1)
         range_scalars = np.concatenate(
             dyn_chunks + [b_total, bb_total, g_total, h_total]
         )
@@ -453,29 +553,10 @@ def verify_batch(
             except Exception:  # pragma: no cover - native build unavailable
                 deferred_folds = None
 
-        prepared = []
-        with span("verify_batch.pre_verify"):
-            for i, tx in enumerate(txs):
-                if deferred_folds is not None:
-                    sigma_batch_collector.set_deferred(i, deferred_folds[i])
-                transcript, commitments = pre_verify(
-                    tx,
-                    state,
-                    sigma_batch_collector,
-                    sig_entries=sig_entries,
-                    tx_bytes_pair=tx_bytes_pairs[i] if tx_bytes_pairs else None,
-                )
-                prepared.append((transcript, commitments))
-            sigma_batch_collector.deferred = None
-
-        views = [
-            tx.range_proof.verification_view(transcript, commitments, 64)
-            for tx, (transcript, commitments) in zip(txs, prepared)
-        ]
         if accel is not None and deferred_folds is not None:
             sigma_ok, range_ok, sigs_ok = _fused_deferred(
-                accel, txs, views, deferred_folds, sigma_batch_collector,
-                sig_entries, metrics, span,
+                accel, txs, state, sigma_batch_collector, deferred_folds,
+                sig_entries, tx_bytes_pairs, metrics, span,
             )
             if not (sigma_ok and range_ok and sigs_ok):
                 if not all(accel.block_valid_flags()):
@@ -488,6 +569,21 @@ def verify_batch(
                     raise ProofVerificationError("generic_proof", "sigma batch")
                 raise ProofVerificationError("range_proof", "batch verification equation")
         elif accel is not None:
+            prepared = []
+            with span("verify_batch.pre_verify"):
+                for i, tx in enumerate(txs):
+                    transcript, commitments = pre_verify(
+                        tx,
+                        state,
+                        sigma_batch_collector,
+                        sig_entries=sig_entries,
+                        tx_bytes_pair=tx_bytes_pairs[i] if tx_bytes_pairs else None,
+                    )
+                    prepared.append((transcript, commitments))
+            views = [
+                tx.range_proof.verification_view(transcript, commitments, 64)
+                for tx, (transcript, commitments) in zip(txs, prepared)
+            ]
             # Split dispatch, single sync: the sigma + signature lanes are
             # dispatched FIRST so the device crunches them (and the block
             # decompression) while the host folds the range proofs; the
@@ -529,6 +625,14 @@ def verify_batch(
                     raise ProofVerificationError("generic_proof", "sigma batch")
                 raise ProofVerificationError("range_proof", "batch verification equation")
         else:
+            prepared = []
+            for tx in txs:
+                transcript, commitments = pre_verify(tx, state, sigma_batch_collector)
+                prepared.append((transcript, commitments))
+            views = [
+                tx.range_proof.verification_view(transcript, commitments, 64)
+                for tx, (transcript, commitments) in zip(txs, prepared)
+            ]
             if not sigma_batch_collector.verify():
                 raise ProofVerificationError("generic_proof", "sigma batch")
             RangeProof.verify_batch(views, BP_GENS, PC_GENS, msm=msm)
