@@ -94,14 +94,19 @@ def main():
     verify_batch(txs, ledger.clone(), accel=accel)
     log(f"warmup verify (incl. compiles): {time.time() - t0:.1f}s")
 
+    from xelis_he_tpu.metrics import metrics
+
     best = float("inf")
     for it in range(iters):
         state = ledger.clone()
+        metrics.reset()
         t0 = time.time()
         verify_batch(txs, state, accel=accel)
         dt = time.time() - t0
         best = min(best, dt)
         log(f"  iter {it}: {dt * 1000:.1f} ms total, {dt * 1000 / n_txs:.3f} ms/tx")
+    if os.environ.get("XELIS_BENCH_METRICS"):
+        log("metrics (last iter):", metrics.json_line())
 
     ms_per_tx = best * 1000 / n_txs
     print(

@@ -60,9 +60,16 @@ class Accelerator:
         use_pallas: bool | None = None,
         mesh=None,
     ):
+        import threading
+
         self.backend = backend
         # below this size the pure-Python Pippenger beats kernel dispatch
         self.min_size = min_size
+        # per-thread block context (device-resident decompression rows +
+        # valid flags + encoding->row map): concurrent verify_batch calls
+        # in different threads share this Accelerator's jit caches but not
+        # each other's in-flight block state
+        self._blk = threading.local()
         # multi-chip: a jax.sharding.Mesh with a 1-D "shards" axis shards the
         # fused-check LANE dimension across devices (GSPMD inserts the
         # cross-shard collectives for the reductions).  jnp engine only; the
@@ -374,18 +381,30 @@ class Accelerator:
 
     # -- block context: device-resident decompressed rows ---------------------
 
+    def _block_state(self):
+        """Per-thread block context (rows/valid/pending/encodings/index)."""
+        blk = self._blk
+        if not hasattr(blk, "rows"):
+            blk.rows = None
+            blk.valid = None
+            blk.pending = None
+            blk.encodings = []
+            blk.index = {}
+        return blk
+
     def begin_block_async(self, encodings: list[bytes]) -> None:
         """Upload + dispatch the block's fused decompression WITHOUT waiting.
         The device computes while the caller does host-side work (tx
         serialization, transcript prep); ``begin_block_wait`` then costs one
         pull.  Uploads and kernels overlap host work on tunneled TPUs — only
         the result pull pays the ~24ms round trip."""
+        blk = self._block_state()
         if not encodings:
-            self._block_rows = None
-            self._block_valid = None
-            self._block_pending = None
-            self._block_encodings = []
-            self._block_index = {}
+            blk.rows = None
+            blk.valid = None
+            blk.pending = None
+            blk.encodings = []
+            blk.index = {}
             return
         n = len(encodings)
         padded = self._lane_granule(n)
@@ -397,31 +416,31 @@ class Accelerator:
             data = jnp.asarray(data)
         rows73 = self._decompress_packed_jit(data)
         # device-resident coords for the fused MSM gather
-        self._block_rows = rows73[:, : 4 * NLIMBS].reshape(padded, 4, NLIMBS)
+        blk.rows = rows73[:, : 4 * NLIMBS].reshape(padded, 4, NLIMBS)
         # device-resident valid flags: folded into the fused accept
         # predicate, so the single-sync path never pulls them (padding rows
         # are the identity encoding, which is valid)
-        self._block_valid = rows73[:, 4 * NLIMBS]
-        self._block_pending = rows73
-        self._block_encodings = encodings
+        blk.valid = rows73[:, 4 * NLIMBS]
+        blk.pending = rows73
+        blk.encodings = encodings
         # the encoding -> row map is known at dispatch time; garbage rows
         # from invalid encodings are harmless because the valid AND rejects
-        self._block_index = {e: i for i, e in enumerate(encodings)}
+        blk.index = {e: i for i, e in enumerate(encodings)}
 
     def begin_block_wait(self):
         """Pull the async decompression (ONE host sync) and build the
         encoding -> row index map.  Returns (rows, valid) for host-side
         cache seeding."""
-        pending = getattr(self, "_block_pending", None)
-        if pending is None:
+        blk = self._block_state()
+        if blk.pending is None:
             return _np.zeros((0, 4, NLIMBS), dtype=_np.uint32), []
-        encodings = self._block_encodings
+        encodings = blk.encodings
         n = len(encodings)
-        out = _np.asarray(pending)  # ONE host pull: coords + valid flags
-        self._block_pending = None
+        out = _np.asarray(blk.pending)  # ONE host pull: coords + valid flags
+        blk.pending = None
         rows_np = out[:n, : 4 * NLIMBS].reshape(n, 4, NLIMBS)
         valid_np = [bool(v) for v in out[:n, 4 * NLIMBS]]
-        self._block_index = {
+        blk.index = {
             e: i for i, (e, ok) in enumerate(zip(encodings, valid_np)) if ok
         }
         return rows_np, valid_np
@@ -439,17 +458,19 @@ class Accelerator:
         """Pull the block's decompression valid flags (failure diagnostics
         only — the happy path never syncs on them).  Returns one bool per
         encoding passed to begin_block_async."""
-        valid = getattr(self, "_block_valid", None)
-        if valid is None:
+        blk = self._block_state()
+        if blk.valid is None:
             return []
-        n = len(self._block_encodings)
-        return [bool(v) for v in _np.asarray(valid)[:n]]
+        n = len(blk.encodings)
+        return [bool(v) for v in _np.asarray(blk.valid)[:n]]
 
     def end_block(self):
-        self._block_rows = None
-        self._block_valid = None
-        self._block_pending = None
-        self._block_index = {}
+        blk = self._block_state()
+        blk.rows = None
+        blk.valid = None
+        blk.pending = None
+        blk.encodings = []
+        blk.index = {}
 
     def _gens_rows(self, n_bits: int, m: int):
         """Device-resident (2*n*m, 4, NLIMBS) rows of the shared Bulletproof
@@ -494,7 +515,7 @@ class Accelerator:
         error behavior)."""
         from ..types import _decompress_point
 
-        block_index = getattr(self, "_block_index", {}) or {}
+        block_index = self._block_state().index
         idx: list[int] = []
         extra_base = m_block + k_gens
         for p in pts:
@@ -538,15 +559,19 @@ class Accelerator:
         use_pallas = self.use_pallas
 
         def _run_a(block_rows, extra_rows, idx, scal):
+            # ``scal`` is ALWAYS the raw (N, 32) uint8 scalar payload —
+            # lane-major, so mesh sharding partitions axis 0 on both engines
+            # — and the digit/bit expansion happens on device (32x less
+            # upload on the tunneled TPU).
             xp = curve.xp
             if use_pallas:
-                # raw 32-byte scalars ride the link; digits are recoded on
-                # device (8x less upload on the tunneled TPU)
                 from .pallas_msm import recode_signed4_xp
 
                 bits = recode_signed4_xp(scal, xp)
             else:
-                bits = scal
+                from .msm import decompose_bits_xp
+
+                bits = decompose_bits_xp(scal, xp)
             all_rows = xp.concatenate([block_rows, extra_rows], axis=0)
             rows = all_rows[idx]
             points = tuple(rows[:, c, :] for c in range(4))
@@ -582,7 +607,9 @@ class Accelerator:
 
                 bits = recode_signed4_xp(scal, xp)
             else:
-                bits = scal
+                from .msm import decompose_bits_xp
+
+                bits = decompose_bits_xp(scal, xp)
             all_valid = (
                 valid.astype(xp.uint8).min()
                 if valid.shape[0]
@@ -686,7 +713,7 @@ class Accelerator:
                     self._pad_scalar_bytes(sig_e, nk),
                 ]
             )
-            block_rows = getattr(self, "_block_rows", None)
+            block_rows = self._block_state().rows
             m_block = int(block_rows.shape[0]) if block_rows is not None else 0
             extras: list[RistrettoPoint] = [IDENTITY]
             idx: list[int] = []
@@ -702,7 +729,7 @@ class Accelerator:
             extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
             extra_rows[: len(extras)] = self._points_to_rows(extras)
             idx_arr = _np.asarray(idx, dtype=_np.int32)
-            payload = all_scalars if self.use_pallas else self._bits_for(all_scalars)
+            payload = all_scalars  # raw bytes; digit expansion on device
             if block_rows is None:
                 block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
             if self.backend == "jax":
@@ -767,9 +794,10 @@ class Accelerator:
             extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
             extra_rows[: len(extras)] = self._points_to_rows(extras)
             idx_arr = _np.asarray(idx, dtype=_np.int32)
-            payload = scal if self.use_pallas else self._bits_for(scal)
-            block_rows = getattr(self, "_block_rows", None)
-            valid = getattr(self, "_block_valid", None)
+            payload = scal  # raw bytes; digit expansion on device
+            blk = self._block_state()
+            block_rows = blk.rows
+            valid = blk.valid
             if block_rows is None:
                 block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
             if valid is None:
@@ -833,8 +861,16 @@ class Accelerator:
         lanes_fn = self._lanes_fn()
         use_pallas = self.use_pallas
 
-        def _check(block_rows, gens_rows, extra_rows, idx, bits, valid):
+        def _check(block_rows, gens_rows, extra_rows, idx, scal, valid):
             xp = curve.xp
+            if use_pallas:
+                from .pallas_msm import recode_signed4_xp
+
+                bits = recode_signed4_xp(scal, xp)
+            else:
+                from .msm import decompose_bits_xp
+
+                bits = decompose_bits_xp(scal, xp)
             # every block encoding must decompress validly (reference
             # parity: the verifier decompresses each one); padding rows are
             # the valid identity encoding
@@ -962,7 +998,8 @@ class Accelerator:
                 k_gens = int(gens_rows.shape[0])
                 break
 
-        block_rows = getattr(self, "_block_rows", None)
+        blk = self._block_state()
+        block_rows = blk.rows
         m_block = int(block_rows.shape[0]) if block_rows is not None else 0
 
         # resolve each group separately so identity-padding lands per group
@@ -986,9 +1023,8 @@ class Accelerator:
             extra_rows[: len(extras_all)] = self._points_to_rows(extras_all)
 
         idx_arr = _np.asarray(idx, dtype=_np.int32)
-        with span("fused_check.recode"):
-            bits = self._bits_for(all_scalars)
-        valid = getattr(self, "_block_valid", None)
+        bits = all_scalars  # raw bytes; digit expansion on device
+        valid = blk.valid
         if block_rows is None:
             block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
         if valid is None:

@@ -323,8 +323,13 @@ def _abs_t(a, jnp, consts):
 
 def _pow22501_t(x, jnp):
     """(x^(2^250 - 1), x^11) — shared prefix of invert/pow_p58."""
+    import jax
 
     def sqn(a, n):
+        if n >= 8:
+            # long squaring runs as fori_loop: the unrolled ~250-squaring
+            # chain otherwise dominates kernel trace + Mosaic compile time
+            return jax.lax.fori_loop(0, n, lambda _, v: _sqr_t(v, jnp), a)
         for _ in range(n):
             a = _sqr_t(a, jnp)
         return a

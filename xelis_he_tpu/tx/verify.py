@@ -305,19 +305,33 @@ def _collect_compressed(txs: list[Transaction]) -> list[bytes]:
 
 
 class _FoldWorker:
-    """Persistent background thread for the native per-tx fold scripts, with
-    main-thread work stealing.
+    """Persistent background thread pool for the native per-tx fold scripts,
+    with main-thread work stealing.
 
-    The C++ executor (xhe_tx_fold) releases the GIL, so one worker thread
-    folds completed transactions WHILE the main thread keeps running
-    pre_verify on later ones — the two host cores stay busy.  After the
-    main thread finishes producing jobs it drains the remaining queue
-    itself (work stealing), then waits for the worker's in-flight job."""
+    The C++ executor (xhe_tx_fold) releases the GIL, so worker threads fold
+    completed transactions WHILE the main thread keeps running pre_verify on
+    later ones — all host cores stay busy (the reference's bench scales
+    shard-nothing to 8 OS threads, benches/tx.rs:252-343; this is the
+    shared-state analog).  After the main thread finishes producing jobs it
+    drains the remaining queue itself (work stealing), then waits for the
+    workers' in-flight jobs.
 
-    def __init__(self):
+    Pool width: XELIS_FOLD_THREADS, default cpu_count - 1 (the main thread
+    is the extra lane).  Each verification thread owns its own pool (see
+    ``_get_fold_worker``), so concurrent ``verify_batch`` calls are safe.
+    """
+
+    def __init__(self, n_threads: int | None = None):
+        import os
         import queue
         import threading
 
+        if n_threads is None:
+            n_threads = max(1, (os.cpu_count() or 2) - 1)
+            n_threads = int(os.environ.get("XELIS_FOLD_THREADS", n_threads))
+        self.n_threads = max(1, n_threads)
+        # one scalar-accumulator slot per worker + one for the main thread
+        self.n_slots = self.n_threads + 1
         self._q = queue.SimpleQueue()
         self._lock = threading.Lock()
         self._done = threading.Event()
@@ -325,10 +339,19 @@ class _FoldWorker:
         self._closed = False
         self._run = None
         self._error = None
-        self._thread = threading.Thread(
-            target=self._loop, daemon=True, name="xelis-fold"
-        )
-        self._thread.start()
+        self._slot_of: dict[int, int] = {}
+        for k in range(self.n_threads):
+            t = threading.Thread(
+                target=self._loop, daemon=True, name=f"xelis-fold-{k}"
+            )
+            t.start()
+            self._slot_of[t.ident] = k
+
+    def slot(self) -> int:
+        """Accumulator slot of the calling thread (main = n_threads)."""
+        import threading
+
+        return self._slot_of.get(threading.get_ident(), self.n_threads)
 
     def _loop(self):
         while True:
@@ -375,14 +398,18 @@ class _FoldWorker:
             raise self._error
 
 
-_fold_worker: _FoldWorker | None = None
+import threading as _threading
+
+_fold_tls = _threading.local()
 
 
 def _get_fold_worker() -> _FoldWorker:
-    global _fold_worker
-    if _fold_worker is None:
-        _fold_worker = _FoldWorker()
-    return _fold_worker
+    """Per-verification-thread fold pool: concurrent verify_batch calls in
+    different threads never share queue/accumulator state."""
+    worker = getattr(_fold_tls, "worker", None)
+    if worker is None:
+        worker = _fold_tls.worker = _FoldWorker()
+    return worker
 
 
 def _tx_padded_commitments(tx: Transaction) -> int:
@@ -406,8 +433,6 @@ def _fused_deferred(
     byte-exact.  After the last submission the main thread steals the
     remaining jobs, then the two fused device MSM checks run with ONE host
     sync."""
-    import threading
-
     import numpy as np
 
     from .. import scalarops, scalars
@@ -417,20 +442,19 @@ def _fused_deferred(
     n_txs = len(txs)
     max_nm = max(64 * _tx_padded_commitments(tx) for tx in txs)
 
-    # two accumulator sets: index 0 for the worker thread, 1 for main
-    g_bufs = [np.zeros((max_nm, 32), dtype=np.uint8) for _ in range(2)]
-    h_bufs = [np.zeros((max_nm, 32), dtype=np.uint8) for _ in range(2)]
-    b_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(2)]
-    bb_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(2)]
+    worker = _get_fold_worker()
+    # one accumulator set per worker thread + one for main (work stealing)
+    n_slots = worker.n_slots
+    g_bufs = [np.zeros((max_nm, 32), dtype=np.uint8) for _ in range(n_slots)]
+    h_bufs = [np.zeros((max_nm, 32), dtype=np.uint8) for _ in range(n_slots)]
+    b_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(n_slots)]
+    bb_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(n_slots)]
     outs: list = [None] * n_txs
     scripts: list = [None] * n_txs
     rcs = [0] * n_txs
 
-    worker = _get_fold_worker()
-    worker_ident = worker._thread.ident
-
     def run_one(i: int) -> None:
-        ci = 0 if threading.get_ident() == worker_ident else 1
+        ci = worker.slot()
         rcs[i] = fold_lib.xhe_tx_fold(
             folds[i].transcript.native_handle(),
             scripts[i], len(scripts[i]),
@@ -489,10 +513,11 @@ def _fused_deferred(
         ]
         g_total, h_total = g_bufs[0], h_bufs[0]
         b_total, bb_total = b_bufs[0], bb_bufs[0]
-        scalarops.axpy_(g_total, g_bufs[1], 1)
-        scalarops.axpy_(h_total, h_bufs[1], 1)
-        scalarops.axpy_(b_total, b_bufs[1], 1)
-        scalarops.axpy_(bb_total, bb_bufs[1], 1)
+        for k in range(1, n_slots):
+            scalarops.axpy_(g_total, g_bufs[k], 1)
+            scalarops.axpy_(h_total, h_bufs[k], 1)
+            scalarops.axpy_(b_total, b_bufs[k], 1)
+            scalarops.axpy_(bb_total, bb_bufs[k], 1)
         range_scalars = np.concatenate(
             dyn_chunks + [b_total, bb_total, g_total, h_total]
         )

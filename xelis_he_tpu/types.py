@@ -56,32 +56,44 @@ NATIVE_ASSET = Hash()
 # per-item decompression then becomes a lookup.  Invalid encodings are never
 # cached, so the host path still raises at the exact reference-equivalent
 # point.
-_DECOMPRESS_CACHE: dict[bytes, RistrettoPoint] = {}
+#
+# The cache, the lazy tier, and the block-lazy flag are all THREAD-LOCAL so
+# concurrent ``verify_batch`` calls in different threads are isolated (the
+# reference is &mut-single-threaded by construction; this rebuild's batch
+# verifier is explicitly parallel-safe).
+import threading as _threading
 
-# Lazy tier: encoding -> (4, NLIMBS) canonical limb row from the batched
-# device decompression.  Python point objects are only materialized for
-# encodings the host actually touches (most points are pure MSM inputs).
-_LAZY_CACHE: dict[bytes, object] = {}
+_TLS = _threading.local()
+
+
+def _tls_state():
+    if not hasattr(_TLS, "cache"):
+        _TLS.cache = {}
+        _TLS.lazy = {}
+        _TLS.block_lazy = False
+    return _TLS
 
 
 def seed_decompress_cache(mapping: dict[bytes, RistrettoPoint]) -> None:
-    _DECOMPRESS_CACHE.update(mapping)
+    _tls_state().cache.update(mapping)
 
 
 def seed_decompress_cache_lazy(mapping: dict[bytes, object]) -> None:
     """mapping: encoding -> (4, NLIMBS) canonical uint32 limb row."""
-    _LAZY_CACHE.update(mapping)
+    _tls_state().lazy.update(mapping)
 
 
 def clear_decompress_cache() -> None:
-    _DECOMPRESS_CACHE.clear()
-    _LAZY_CACHE.clear()
+    st = _tls_state()
+    st.cache.clear()
+    st.lazy.clear()
 
 
 def is_cached_valid(data: bytes) -> bool:
     """True iff ``data`` was validated by the block's batched device
     decompression (invalid encodings are never cached)."""
-    return data in _DECOMPRESS_CACHE or data in _LAZY_CACHE
+    st = _tls_state()
+    return data in st.cache or data in st.lazy
 
 
 # Block-lazy mode: while a batched verification with an accelerator is in
@@ -90,23 +102,23 @@ def is_cached_valid(data: bytes) -> bool:
 # and its valid flags are folded into the single device-side accept/reject
 # predicate.  Host access to ``.point`` still decompresses (and raises)
 # eagerly, preserving reference error behavior off the hot path.
-_BLOCK_LAZY = False
 
 
 def set_block_lazy(on: bool) -> None:
-    global _BLOCK_LAZY
-    _BLOCK_LAZY = on
+    _tls_state().block_lazy = on
 
 
 def _defer_decompression(data: bytes) -> bool:
-    return _BLOCK_LAZY or data in _DECOMPRESS_CACHE or data in _LAZY_CACHE
+    st = _tls_state()
+    return st.block_lazy or data in st.cache or data in st.lazy
 
 
 def _decompress_point(data: bytes) -> RistrettoPoint:
-    pt = _DECOMPRESS_CACHE.get(data)
+    st = _tls_state()
+    pt = st.cache.get(data)
     if pt is not None:
         return pt
-    row = _LAZY_CACHE.get(data)
+    row = st.lazy.get(data)
     if row is not None:
         coords = []
         for limbs in row.tolist():
@@ -115,7 +127,7 @@ def _decompress_point(data: bytes) -> RistrettoPoint:
                 v = (v << 15) | x
             coords.append(v)
         pt = RistrettoPoint(*coords)
-        _DECOMPRESS_CACHE[data] = pt
+        st.cache[data] = pt
         return pt
     pt = RistrettoPoint.decompress(data)
     if pt is None:
