@@ -39,10 +39,27 @@ def to_bytes(s: int) -> bytes:
     return (s % L).to_bytes(32, "little")
 
 
+import threading as _threading
+
+_rng_tls = _threading.local()
+_POOL_SCALARS = 256  # one urandom syscall refills 256 draws
+
+
 def random_scalar() -> int:
     """Uniform scalar from the OS CSPRNG (dalek Scalar::random semantics:
-    64 uniform bytes reduced mod L)."""
-    return from_bytes_mod_order_wide(secrets.token_bytes(64))
+    64 uniform bytes reduced mod L).
+
+    Draws are served from a per-thread pool refilled with one
+    ``secrets.token_bytes`` syscall per 256 scalars: batch verification
+    consumes 4 randomizers per tx and the per-call urandom syscall was a
+    measurable slice of the host hot path.  Pool bytes are CSPRNG output,
+    used exactly once, never shared across threads."""
+    off = getattr(_rng_tls, "off", None)
+    if off is None or off + 64 > len(_rng_tls.pool):
+        _rng_tls.pool = secrets.token_bytes(64 * _POOL_SCALARS)
+        off = 0
+    _rng_tls.off = off + 64
+    return from_bytes_mod_order_wide(_rng_tls.pool[off : off + 64])
 
 
 def invert(s: int) -> int:
