@@ -70,3 +70,54 @@ def test_compress_decompress_roundtrip_and_rejection():
     # identity is valid
     ident = R.RistrettoPoint.decompress(b"\x00" * 32)
     assert ident is not None and ident.is_identity()
+
+
+def test_ct_scalar_mul_edge_scalars():
+    """The constant-time ladder (pt_mul: masked-scan table select, wiped
+    table) must be exact on the scalars that stress its window handling:
+    0, 1, L-1, all-zero-nibble-heavy, and all-0xF patterns.  Secret scalar
+    muls (decrypt s*D, sign k*H, handles r*P) route through this path via
+    RistrettoPoint.scalar_mul whenever the native engine is loaded."""
+    base = R.mul_base(7)
+    cases = [
+        0,
+        1,
+        2,
+        L - 1,
+        0x0F0F0F0F,
+        int.from_bytes(b"\xf0" * 31 + b"\x0f", "little") % L,
+        1 << 252,
+        (1 << 252) + 27742317777372353535851937790883648492,  # L - 1 again via form
+    ]
+    for k in cases:
+        acc, add, kk = R.IDENTITY, base, k % L
+        while kk:
+            if kk & 1:
+                acc = acc + add
+            add = add.double()
+            kk >>= 1
+        assert base.scalar_mul(k % L) == acc, f"ct ladder mismatch at k={k}"
+
+
+def test_secret_ops_use_native_engine():
+    """Guard: the elgamal secret operations actually reach the C++ CT
+    ladder (not the Python fallback) when the native engine is loaded."""
+    import xelis_he_tpu.elgamal as eg
+
+    called = []
+    orig = R._clib.xhe_pt_mul
+
+    class _Spy:
+        def __call__(self, *a):
+            called.append(1)
+            return orig(*a)
+
+    R._clib.xhe_pt_mul = _Spy()
+    try:
+        kp = eg.ElGamalKeypair.keygen()
+        ct = kp.pubkey().encrypt(5)
+        kp.secret().decrypt(ct)
+        kp.sign(b"msg")
+    finally:
+        R._clib.xhe_pt_mul = orig
+    assert called, "secret ops bypassed the native CT scalar-mul"

@@ -68,9 +68,10 @@ inline void fe_freeze(fe &a) {
   t[2] = a.v[2] + c; c = t[2] >> 51; t[2] &= MASK51;
   t[3] = a.v[3] + c; c = t[3] >> 51; t[3] &= MASK51;
   t[4] = a.v[4] + c; c = t[4] >> 51; t[4] &= MASK51;
-  if (c) {  // a >= p: keep t (== a - p after dropping the 2^255 carry)
-    std::memcpy(a.v, t, sizeof t);
-  }
+  // a >= p: keep t (== a - p after dropping the 2^255 carry).  Branchless
+  // select so freeze timing never depends on the value being frozen.
+  u64 mask = 0 - c;  // c is 0 or 1
+  for (int i = 0; i < 5; ++i) a.v[i] ^= mask & (a.v[i] ^ t[i]);
 }
 
 inline void fe_store(const fe &a_in, uint8_t b[32]) {
@@ -359,7 +360,42 @@ inline void pt_neg(const pt &p, pt &o) {
   fe_neg(p.T, o.T);
 }
 
-// fixed 4-bit window scalar mul (op sequence is scalar-independent)
+// constant-time conditional move: r = mask ? a : r  (mask is 0 or ~0)
+inline void fe_cmov(fe &r, const fe &a, u64 mask) {
+  for (int i = 0; i < 5; ++i) r.v[i] ^= mask & (r.v[i] ^ a.v[i]);
+}
+
+inline void pt_cmov(pt &r, const pt &a, u64 mask) {
+  fe_cmov(r.X, a.X, mask);
+  fe_cmov(r.Y, a.Y, mask);
+  fe_cmov(r.Z, a.Z, mask);
+  fe_cmov(r.T, a.T, mask);
+}
+
+// constant-time table lookup: o = table[idx] via a full masked scan
+inline void pt_select(const pt table[16], u64 idx, pt &o) {
+  pt_identity(o);
+  for (u64 j = 0; j < 16; ++j) {
+    // mask = ~0 iff j == idx, without a branch
+    u64 diff = j ^ idx;
+    u64 mask = (u64)(((diff | (0 - diff)) >> 63) - 1);  // 0 -> ~0, else 0
+    pt_cmov(o, table[j], mask);
+  }
+}
+
+// best-effort secret wipe (volatile writes defeat dead-store elimination)
+inline void secure_wipe(void *p, size_t n) {
+  volatile uint8_t *q = (volatile uint8_t *)p;
+  for (size_t i = 0; i < n; ++i) q[i] = 0;
+}
+
+// CONSTANT-TIME fixed 4-bit window scalar mul (SURVEY.md §5 prover
+// discipline; reference parity: dalek's subtle-based ops).  The op
+// sequence is scalar-independent (64 windows x 4 doubles + 1 unified add,
+// identity rows handled by the unified formulas), the table lookup is a
+// full masked scan (no data-dependent indexing), and the window table is
+// wiped on exit.  fe muls use u64->u128 multiplies (constant-time on all
+// supported targets).
 void pt_mul(const uint8_t k[32], const pt &p, pt &o) {
   pt table[16];
   pt_identity(table[0]);
@@ -368,18 +404,21 @@ void pt_mul(const uint8_t k[32], const pt &p, pt &o) {
   pt acc;
   pt_identity(acc);
   for (int i = 63; i >= 0; --i) {
-    if (i != 63) {
+    if (i != 63) {  // iteration count is public; this branch is index-only
       pt_dbl(acc, acc);
       pt_dbl(acc, acc);
       pt_dbl(acc, acc);
       pt_dbl(acc, acc);
     }
-    int nib = (k[i / 2] >> ((i & 1) * 4)) & 0xF;
-    pt t;
-    pt_add(acc, table[nib], t);
+    u64 nib = (u64)((k[i / 2] >> ((i & 1) * 4)) & 0xF);
+    pt sel, t;
+    pt_select(table, nib, sel);
+    pt_add(acc, sel, t);
     acc = t;
   }
   o = acc;
+  secure_wipe(table, sizeof table);
+  secure_wipe(&acc, sizeof acc);
 }
 
 }  // namespace

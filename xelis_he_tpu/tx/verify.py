@@ -532,6 +532,7 @@ def verify_batch(
     state: BlockchainVerificationState,
     msm=multiscalar_mul,
     accel=None,
+    transactional: bool = False,
 ) -> None:
     """Whole-block verification: ONE sigma MSM + ONE range-proof mega-MSM
     (verify.rs:487-517).
@@ -539,9 +540,23 @@ def verify_batch(
     With ``accel`` (ops.accel.Accelerator): every encoding of the block is
     decompressed in one fused device call, every Schnorr signature (tx +
     multisig) is verified in one fused device call, and both mega-MSMs run
-    on the device."""
+    on the device.
+
+    With ``transactional=True``, state writes are buffered in an overlay
+    and flushed only after the whole batch verified — a failing batch
+    leaves ``state`` untouched (improvement over the reference's
+    partial-mutation behavior, SURVEY.md §5; no per-attempt ledger clone
+    needed)."""
     from ..metrics import metrics, span
     from ..types import clear_decompress_cache, set_block_lazy
+
+    if transactional:
+        from .transactional import TransactionalState
+
+        overlay = TransactionalState(state)
+        verify_batch(txs, overlay, msm=msm, accel=accel, transactional=False)
+        overlay.commit()
+        return
 
     metrics.incr("verify_batch.txs", len(txs))
     sig_entries = None
