@@ -60,3 +60,31 @@ def test_decrypt_then_decode():
     ct = keypair.pubkey().encrypt(4242)
     instance = keypair.secret().decrypt(ct)
     assert instance.decode(TABLES, ECDLPArguments(0, 1 << 14)) == 4242
+
+
+def test_flat_table_mmap_roundtrip(tmp_path: pathlib.Path):
+    """The mmap-able flat format (ECDLPTablesFileView parity) must
+    round-trip bit-exactly and decode through a zero-copy memmap view."""
+    import numpy as np
+
+    path = tmp_path / "tables.bin"
+    TABLES.save_flat(path)
+    assert path.stat().st_size == 16 + 12 * (1 << TABLES.l1)
+
+    mapped = ECDLPTables.load(path)  # memmap
+    assert isinstance(mapped.keys, np.memmap)
+    assert mapped.l1 == TABLES.l1
+    assert np.array_equal(np.asarray(mapped.keys), TABLES.keys)
+    assert np.array_equal(np.asarray(mapped.idx), TABLES.idx)
+    assert decode(mapped, mul_base(777), ECDLPArguments(0, 1 << 12)) == 777
+
+    ram = ECDLPTables.load_flat(path, mmap=False)
+    assert decode(ram, mul_base(901), ECDLPArguments(0, 1 << 12)) == 901
+
+    # corrupted magic is rejected
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"NOTATBL!" + path.read_bytes()[8:])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ECDLPTables.load_flat(bad)

@@ -88,12 +88,65 @@ class ECDLPTables:
         return ECDLPTables(l1, prefixes[order], order.astype(np.uint32))
 
     def save(self, path: str | pathlib.Path) -> None:
-        np.savez(path, l1=self.l1, keys=self.keys, idx=self.idx)
+        path = pathlib.Path(path)
+        if path.suffix == ".npz":
+            np.savez(path, l1=self.l1, keys=self.keys, idx=self.idx)
+        else:
+            self.save_flat(path)
 
     @staticmethod
-    def load(path: str | pathlib.Path) -> "ECDLPTables":
-        data = np.load(path)
-        return ECDLPTables(int(data["l1"]), data["keys"], data["idx"])
+    def load(path: str | pathlib.Path, mmap: bool = True) -> "ECDLPTables":
+        path = pathlib.Path(path)
+        if path.suffix == ".npz":
+            data = np.load(path)
+            return ECDLPTables(int(data["l1"]), data["keys"], data["idx"])
+        return ECDLPTables.load_flat(path, mmap=mmap)
+
+    # -- mmap-able flat file (ECDLPTablesFileView parity, elgamal.rs:77-91) --
+    #
+    # Layout (little-endian):
+    #   0:8    magic  b"XHEECDLP"
+    #   8:12   version u32 (1)
+    #   12:16  l1 u32
+    #   16:16+8*2^l1        sorted u64 key prefixes
+    #   ...:+4*2^l1         u32 baby-step index per key
+    # Loading with mmap=True maps the arrays zero-copy (np.memmap), so a
+    # multi-GB table costs no RSS until pages are touched — the same
+    # access pattern as the reference's mmap'd ECDLPTablesFileView.
+
+    _MAGIC = b"XHEECDLP"
+
+    def save_flat(self, path: str | pathlib.Path) -> None:
+        count = len(self.keys)
+        with open(path, "wb") as f:
+            f.write(self._MAGIC)
+            f.write((1).to_bytes(4, "little"))
+            f.write(self.l1.to_bytes(4, "little"))
+            f.write(np.ascontiguousarray(self.keys, dtype="<u8").tobytes())
+            f.write(np.ascontiguousarray(self.idx, dtype="<u4").tobytes())
+        assert pathlib.Path(path).stat().st_size == 16 + 12 * count
+
+    @staticmethod
+    def load_flat(path: str | pathlib.Path, mmap: bool = True) -> "ECDLPTables":
+        with open(path, "rb") as f:
+            header = f.read(16)
+        if header[:8] != ECDLPTables._MAGIC:
+            raise ValueError(f"not an ECDLP table file: {path}")
+        version = int.from_bytes(header[8:12], "little")
+        if version != 1:
+            raise ValueError(f"unsupported ECDLP table version {version}")
+        l1 = int.from_bytes(header[12:16], "little")
+        count = 1 << l1
+        if mmap:
+            keys = np.memmap(path, dtype="<u8", mode="r", offset=16, shape=(count,))
+            idx = np.memmap(
+                path, dtype="<u4", mode="r", offset=16 + 8 * count, shape=(count,)
+            )
+        else:
+            raw = pathlib.Path(path).read_bytes()
+            keys = np.frombuffer(raw, dtype="<u8", count=count, offset=16)
+            idx = np.frombuffer(raw, dtype="<u4", count=count, offset=16 + 8 * count)
+        return ECDLPTables(l1, keys, idx)
 
     # -- lookup ---------------------------------------------------------------
 
