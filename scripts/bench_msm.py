@@ -59,8 +59,9 @@ def main():
         digits = jnp.asarray(decompose_digits(scs, window))
 
         results = {}
+        skip = os.environ.get("XELIS_MSM_SKIP", "").split(",")
 
-        if on_tpu:
+        if on_tpu and "pallas" not in skip:
             from xelis_he_tpu.ops.pallas_msm import (
                 msm_windowed_lanes_pallas,
                 recode_signed4,
@@ -75,28 +76,39 @@ def main():
                 sums = tile_sums_pallas(acc)
                 return _tree_reduce(curve, sums, sums[0].shape[0], True)
 
+            print(f"n={n}: compiling pallas-windowed...", file=sys.stderr, flush=True)
             t, out_p = timeit(pallas_msm, batch, sd)
             results["pallas-windowed"] = t
 
-        @jax.jit
-        def daa(batch, bits):
-            return engine.msm_daa(batch, bits)
+        outs = {}
+        if "daa" not in skip:
 
-        t, out_d = timeit(daa, batch, bits)
-        results["jnp-daa"] = t
+            @jax.jit
+            def daa(batch, bits):
+                return engine.msm_daa(batch, bits)
 
-        @jax.jit
-        def pip(batch, digits):
-            return engine.msm(batch, digits)
+            print(f"n={n}: compiling jnp-daa...", file=sys.stderr, flush=True)
+            t, outs["daa"] = timeit(daa, batch, bits)
+            results["jnp-daa"] = t
 
-        t, out_k = timeit(pip, batch, digits)
-        results[f"pippenger-c{window}"] = t
+        if "pippenger" not in skip:
 
-        # cross-check results agree
-        ref = curve.to_points(tuple(np.asarray(c)[None] for c in out_d))[0]
-        got = curve.to_points(tuple(np.asarray(c)[None] for c in out_k))[0]
-        assert ref == got, f"pippenger mismatch at n={n}"
-        if on_tpu:
+            @jax.jit
+            def pip(batch, digits):
+                return engine.msm(batch, digits)
+
+            print(f"n={n}: compiling pippenger...", file=sys.stderr, flush=True)
+            t, outs["pip"] = timeit(pip, batch, digits)
+            results[f"pippenger-c{window}"] = t
+
+        # cross-check every computed result against the host reference
+        from xelis_he_tpu.pyref.ristretto import multiscalar_mul
+
+        ref = multiscalar_mul(scs, pts)
+        for name, out in outs.items():
+            got = curve.to_points(tuple(np.asarray(c)[None] for c in out))[0]
+            assert ref == got, f"{name} mismatch at n={n}"
+        if on_tpu and "pallas" not in skip:
             gp = curve.to_points(tuple(np.asarray(c)[None] for c in out_p))[0]
             assert ref == gp, f"pallas mismatch at n={n}"
 

@@ -2,9 +2,14 @@ import os
 import sys
 
 # Multi-device CPU mesh emulation for sharding tests (SURVEY.md §7 pod-scale):
-# must be set before jax import.
+# must be set before jax import.  FORCE cpu (not setdefault): the axon
+# environment pre-sets JAX_PLATFORMS=axon and its sitecustomize registers
+# the tunneled-TPU backend whenever PALLAS_AXON_POOL_IPS is set — the test
+# suite is CPU-deterministic by design (TPU coverage comes from bench.py
+# and the driver's compile checks).
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

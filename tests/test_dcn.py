@@ -82,6 +82,10 @@ def _run_workers(block_path: str) -> list[str]:
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)  # one device per process
+    # the axon sitecustomize registers the tunneled-TPU backend whenever
+    # PALLAS_AXON_POOL_IPS is set — two worker processes would then contend
+    # for the single tunnel and hang; this test is CPU-only by design
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, block_path, coord, "2", str(i)],

@@ -115,4 +115,4 @@ class Transcript:
 
     def clone(self) -> "Transcript":
         self._flush()
-        return Transcript(b"", _strobe=self.strobe.copy())
+        return type(self)(b"", _strobe=self.strobe.copy())

@@ -382,11 +382,25 @@ class TransactionBuilder:
         return self.build_unsigned(state, source_keypair, msm=msm).sign(source_keypair)
 
 
+import threading as _threading
+
+_transcript_tls = _threading.local()
+
+
 def prepare_transcript(
     version: int, source_pubkey: CompressedPubkey, fee: int, nonce: int
 ) -> ProtocolTranscript:
-    """tx/verify.rs:146-158."""
-    transcript = ProtocolTranscript(b"transaction-proof")
+    """tx/verify.rs:146-158.
+
+    The post-dom-sep STROBE state is identical for every transaction, so a
+    per-thread template is built once and CLONED per tx (a native state
+    memcpy) instead of re-running the Keccak init + dom-sep absorb — this
+    runs once per transaction on the batch-verify host hot path."""
+    template = getattr(_transcript_tls, "template", None)
+    if template is None:
+        template = _transcript_tls.template = ProtocolTranscript(b"transaction-proof")
+        template._flush()
+    transcript = template.clone()
     transcript.append_u64(b"version", version)
     transcript.append_pubkey(b"source_pubkey", source_pubkey)
     transcript.append_u64(b"fee", fee)
