@@ -100,8 +100,13 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    # B. batch sizes x 1 transfer
-    for n in (1, 4, 16, 64, 256):
+    # B. batch sizes x 1 transfer (XELIS_MATRIX_BATCHES to override; the
+    # reference's criterion matrix runs up to 2500, benches/tx.rs:227-229)
+    batches = tuple(
+        int(x)
+        for x in os.environ.get("XELIS_MATRIX_BATCHES", "1,4,16,64,256").split(",")
+    )
+    for n in batches:
         txs, ledger, build_s = build_block(n, 1)
         best = timed_verify(txs, ledger)
         rec = {

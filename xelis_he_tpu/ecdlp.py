@@ -217,24 +217,28 @@ def par_decode(
         offs.append(offs[-1] + neg_gs)
     offsets = accel._to_device_points(offs)
 
-    import jax
+    # The walker stays DEVICE-RESIDENT: each round is one fused dispatch
+    # (broadcast-add the offset table to the current target, compress, and
+    # advance the target by the big step) — the host only pulls the (batch,
+    # 32) encodings for the prefix-table lookup.
+    def _round(cur, offsets, big):
+        pts = curve.add(cur, offsets)  # (1, L) broadcasts over lanes
+        enc = curve.compress(pts)
+        return enc, curve.add(cur, big)
 
     if accel.backend == "jax":
-        def _round(tgt, offsets):
-            pts = curve.add(tgt, offsets)
-            return curve.compress(pts)
+        import jax
 
         round_jit = jax.jit(_round)
     else:
-        def round_jit(tgt, offsets):
-            return curve.compress(curve.add(tgt, offsets))
+        round_jit = _round
 
-    big_step = -mul_base(baby_count * batch)
-    current = target
+    big_step = accel._to_device_points([-mul_base(baby_count * batch)])
+    cur = accel._to_device_points([target])
     done = 0
     while done < n_giant:
-        tgt = accel._to_device_points([current] * batch)
-        encs = np.asarray(round_jit(tgt, offsets))
+        encs_dev, cur = round_jit(cur, offsets, big_step)
+        encs = np.asarray(encs_dev)
         cands = tables.lookup_many(encs)
         for j in np.nonzero(cands >= 0)[0]:
             if done + int(j) >= n_giant:
@@ -244,7 +248,6 @@ def par_decode(
             # prefix hits are candidates only: confirm exactly
             if m < args.range_max and mul_base(m) == point:
                 return m
-        current = current + big_step
         done += batch
         if args.progress_fn is not None:
             args.progress_fn(min(1.0, done / n_giant))

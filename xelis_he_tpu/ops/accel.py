@@ -663,6 +663,370 @@ class Accelerator:
         cache[key] = fn
         return fn
 
+    # -- chunked pipeline: per-chunk lane dispatch + one final combine --------
+    #
+    # verify_batch splits the block into tx chunks; each chunk's dynamic
+    # lanes (sigma + range + signatures) dispatch to the device as soon as
+    # that chunk's host folds finish, with the group reduction fused in, so
+    # the device crunches chunk k while the host pre_verifies chunk k+1.
+    # The final combine folds the C partial sums with the SHARED lanes
+    # (G/H collector slots, Pedersen bases, BP generators) and packs flags +
+    # signature R bytes — the whole block still costs ONE host sync.
+
+    def _chunk_fn(self, ns: int, nr: int, nk: int, m_block: int, e_pad: int):
+        key = ("chunk", ns, nr, nk, m_block, e_pad)
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
+
+        curve = self.curve
+        lanes_fn = self._lanes_fn()
+        use_pallas = self.use_pallas
+
+        def _run_chunk(block_rows, extra_rows, idx, scal):
+            from .msm import _tree_reduce
+
+            xp = curve.xp
+            if use_pallas:
+                from .pallas_msm import recode_signed4_xp
+
+                bits = recode_signed4_xp(scal, xp)
+            else:
+                from .msm import decompose_bits_xp
+
+                bits = decompose_bits_xp(scal, xp)
+            all_rows = xp.concatenate([block_rows, extra_rows], axis=0)
+            rows = all_rows[idx]
+            points = tuple(rows[:, c, :] for c in range(4))
+            acc = lanes_fn(points, bits)  # [sigma | range | sig_s | sig_e]
+            if use_pallas:
+                from .pallas_msm import TILE, tile_sums_pallas
+
+                sums = tile_sums_pallas(tuple(c[: ns + nr] for c in acc))
+                sigma = _tree_reduce_group(curve, sums, 0, ns // TILE)
+                rng = _tree_reduce_group(curve, sums, ns // TILE, nr // TILE)
+            else:
+                sigma = _tree_reduce_group(curve, acc, 0, ns)
+                rng = _tree_reduce_group(curve, acc, ns, nr)
+            out_sigma = xp.stack(sigma, axis=0)  # (4, 18)
+            out_rng = xp.stack(rng, axis=0)
+            if nk:
+                s_lanes = tuple(c[ns + nr : ns + nr + nk] for c in acc)
+                e_lanes = tuple(c[ns + nr + nk : ns + nr + 2 * nk] for c in acc)
+                r = curve.add(s_lanes, e_lanes)
+                r_acc = xp.stack(r, axis=1)  # (nk, 4, 18); compressed at combine
+            else:
+                r_acc = xp.zeros((0, 4, NLIMBS), dtype=xp.uint32)
+            return out_sigma, out_rng, r_acc
+
+        if self.backend == "jax":
+            import jax
+
+            fn = jax.jit(_run_chunk, in_shardings=self._phase_shardings(4))
+        else:
+            fn = _run_chunk
+        cache[key] = fn
+        return fn
+
+    def chunk_lanes_begin(self, sigma, range_, sig_entries):
+        """Dispatch one chunk's dynamic lanes WITHOUT waiting.  Returns an
+        opaque handle for ``fused_chunks_finish``.
+
+        sigma/range_: (scalars, points) with points as 32-byte encodings /
+        host points (no generator markers — shared lanes go in the final
+        combine); sig_entries: this chunk's (signature, pubkey, compressed,
+        message) tuples."""
+        from .. import scalars as sc
+        from ..elgamal import H as _H
+        from ..metrics import span
+
+        sigma_sc, sigma_pts = sigma
+        range_sc, range_pts = range_
+        if self.use_pallas:
+            from .pallas_msm import TILE
+
+            g1, g2 = TILE, TILE // 2
+        else:
+            # small granule keeps eager-numpy/CPU work proportional for tiny
+            # blocks; still divides any mesh size up to 64
+            g1, g2 = 64, 64
+        ns = self._round_up(len(sigma_sc), g1)
+        nr = self._round_up(len(range_sc), g1)
+        nk = self._round_up(len(sig_entries), g2) if sig_entries else 0
+
+        sig_s = [e[0].s for e in sig_entries]
+        sig_e = [(-e[0].e) % sc.L for e in sig_entries]
+        sig_pts = [
+            e[1] if isinstance(e[1], (bytes, bytearray)) or not hasattr(e[1], "point")
+            else e[1].point
+            for e in sig_entries
+        ]
+
+        with span("fused_check.prep_chunk"):
+            all_scalars = _np.concatenate(
+                [
+                    self._pad_scalar_bytes(sigma_sc, ns),
+                    self._pad_scalar_bytes(range_sc, nr),
+                    self._pad_scalar_bytes(sig_s, nk),
+                    self._pad_scalar_bytes(sig_e, nk),
+                ]
+            )
+            blk = self._block_state()
+            block_rows = blk.rows
+            m_block = int(block_rows.shape[0]) if block_rows is not None else 0
+            extras: list[RistrettoPoint] = [IDENTITY]
+            idx: list[int] = []
+            for group_pts, group_total in (
+                (list(sigma_pts), ns),
+                (list(range_pts), nr),
+                ([_H] * len(sig_entries), nk),
+                (list(sig_pts), nk),
+            ):
+                idx.extend(
+                    self._resolve_lane_points(group_pts, group_total, m_block, 0, extras)
+                )
+            e_pad = self._round_up(len(extras), 64)
+            extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
+            extra_rows[: len(extras)] = self._points_to_rows(extras)
+            idx_arr = _np.asarray(idx, dtype=_np.int32)
+            payload = all_scalars
+            if block_rows is None:
+                block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
+            if self.backend == "jax":
+                import jax.numpy as jnp
+
+                payload = jnp.asarray(payload)
+                idx_arr = jnp.asarray(idx_arr)
+                extra_rows = jnp.asarray(extra_rows)
+                block_rows = jnp.asarray(block_rows)
+            fn = self._chunk_fn(ns, nr, nk, m_block, e_pad)
+            sigma_acc, rng_acc, r_acc = fn(block_rows, extra_rows, idx_arr, payload)
+        return {
+            "sigma": sigma_acc,
+            "range": rng_acc,
+            "r_acc": r_acc,
+            "nk": nk,
+            "n_sigs": len(sig_entries),
+        }
+
+    def _final_fn(self, n_chunks: int, nk_tuple: tuple, ns_s: int, nr_s: int,
+                  m_block: int, k_gens: int, e_pad: int):
+        key = ("final", n_chunks, nk_tuple, ns_s, nr_s, m_block, k_gens, e_pad)
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
+
+        curve = self.curve
+        lanes_fn = self._lanes_fn()
+        use_pallas = self.use_pallas
+
+        def _run_final(sigma_parts, range_parts, r_accs,
+                       block_rows, gens_rows, extra_rows, idx, scal, valid):
+            from .msm import _tree_reduce
+
+            xp = curve.xp
+            if use_pallas:
+                from .pallas_msm import recode_signed4_xp
+
+                bits = recode_signed4_xp(scal, xp)
+            else:
+                from .msm import decompose_bits_xp
+
+                bits = decompose_bits_xp(scal, xp)
+            all_valid = (
+                valid.astype(xp.uint8).min()
+                if valid.shape[0]
+                else xp.ones((), dtype=xp.uint8)
+            )
+            all_rows = xp.concatenate([block_rows, gens_rows, extra_rows], axis=0)
+            rows = all_rows[idx]
+            points = tuple(rows[:, c, :] for c in range(4))
+            acc = lanes_fn(points, bits)  # shared lanes [sigma_s | range_s]
+            if use_pallas:
+                from .pallas_msm import TILE, tile_sums_pallas
+
+                sums = tile_sums_pallas(acc)
+                sigma_sh = _tree_reduce_group(curve, sums, 0, ns_s // TILE)
+                rng_sh = _tree_reduce_group(curve, sums, ns_s // TILE, nr_s // TILE)
+            else:
+                sigma_sh = _tree_reduce_group(curve, acc, 0, ns_s)
+                rng_sh = _tree_reduce_group(curve, acc, ns_s, nr_s)
+            # fold in the per-chunk partials: C+1 lanes per group
+            sig_stack = xp.concatenate(
+                [xp.stack(list(p), axis=0)[None] for p in [sigma_sh]]
+                + [p[None] for p in sigma_parts],
+                axis=0,
+            )  # (C+1, 4, 18)
+            rng_stack = xp.concatenate(
+                [xp.stack(list(p), axis=0)[None] for p in [rng_sh]]
+                + [p[None] for p in range_parts],
+                axis=0,
+            )
+            sigma_tuple = tuple(sig_stack[:, c, :] for c in range(4))
+            rng_tuple = tuple(rng_stack[:, c, :] for c in range(4))
+            sigma = _tree_reduce(curve, sigma_tuple, sig_stack.shape[0], True)
+            rng = _tree_reduce(curve, rng_tuple, rng_stack.shape[0], True)
+            sigma_ok = curve.is_identity(tuple(c[None] for c in sigma))[0]
+            range_ok = curve.is_identity(tuple(c[None] for c in rng))[0]
+            if r_accs:
+                r_all = xp.concatenate(list(r_accs), axis=0)  # (sum nk, 4, 18)
+                r_tuple = tuple(r_all[:, c, :] for c in range(4))
+                if use_pallas:
+                    from .pallas_msm import compress_pallas
+
+                    r_bytes = compress_pallas(r_tuple)
+                else:
+                    r_bytes = curve.compress(r_tuple)
+            else:
+                r_bytes = xp.zeros((0, 32), dtype=xp.uint8)
+            flags = xp.concatenate(
+                [
+                    xp.reshape(sigma_ok, (1,)).astype(xp.uint8),
+                    xp.reshape(range_ok, (1,)).astype(xp.uint8),
+                    xp.reshape(all_valid, (1,)).astype(xp.uint8),
+                    xp.zeros((29,), dtype=xp.uint8),
+                ]
+            )[None, :]
+            return xp.concatenate([flags, r_bytes], axis=0)
+
+        if self.backend == "jax":
+            import jax
+
+            shardings = self._final_shardings(n_chunks, len(nk_tuple))
+            fn = jax.jit(_run_final, in_shardings=shardings)
+        else:
+            fn = _run_final
+        cache[key] = fn
+        return fn
+
+    def _final_shardings(self, n_chunks: int, n_racc: int):
+        """Partials/r-accs replicated (tiny), shared idx + payload
+        lane-sharded like the phase jits."""
+        if self.mesh is None or self.backend != "jax" or self.use_pallas:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        repl = NamedSharding(self.mesh, P())
+        lane = NamedSharding(self.mesh, P(axis))
+        pay = NamedSharding(self.mesh, P(axis, None))
+        return (
+            tuple(repl for _ in range(n_chunks)),
+            tuple(repl for _ in range(n_chunks)),
+            tuple(repl for _ in range(n_racc)),
+            repl, repl, repl, lane, pay, repl,
+        )
+
+    def fused_chunks_finish(self, chunk_states, shared_sigma, shared_range, sig_entries):
+        """Dispatch the shared lanes, combine with every chunk's partials on
+        device, and pull the packed result — the block's single host sync."""
+        import hashlib
+
+        from .. import scalars as sc
+        from ..metrics import span
+
+        sigma_sc, sigma_pts = shared_sigma
+        range_sc, range_pts = shared_range
+        if self.use_pallas:
+            from .pallas_msm import TILE
+
+            g1 = TILE
+        else:
+            g1 = 64
+        ns_s = self._round_up(len(sigma_sc), g1)
+
+        with span("fused_check.prep_final"):
+            k_gens = 0
+            gens_rows = None
+            for p in range_pts:
+                if isinstance(p, tuple) and p and p[0] == "__bp_gens__":
+                    _, nb, m = p
+                    gens_rows = self._gens_rows(nb, m)
+                    k_gens = int(gens_rows.shape[0])
+                    break
+            nr_s = self._round_up(len(range_sc), g1)
+            scal = _np.concatenate(
+                [
+                    self._pad_scalar_bytes(sigma_sc, ns_s),
+                    self._pad_scalar_bytes(range_sc, nr_s),
+                ]
+            )
+            blk = self._block_state()
+            block_rows = blk.rows
+            valid = blk.valid
+            m_block = int(block_rows.shape[0]) if block_rows is not None else 0
+            extras: list[RistrettoPoint] = [IDENTITY]
+            idx: list[int] = []
+            idx.extend(
+                self._resolve_lane_points(list(sigma_pts), ns_s, m_block, k_gens, extras)
+            )
+            idx.extend(
+                self._resolve_lane_points(list(range_pts), nr_s, m_block, k_gens, extras)
+            )
+            e_pad = self._round_up(len(extras), 64)
+            extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
+            extra_rows[: len(extras)] = self._points_to_rows(extras)
+            idx_arr = _np.asarray(idx, dtype=_np.int32)
+            if block_rows is None:
+                block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
+            if valid is None:
+                valid = _np.ones((block_rows.shape[0],), dtype=_np.uint32)
+            if gens_rows is None:
+                gens_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
+            if self.backend == "jax":
+                import jax.numpy as jnp
+
+                scal = jnp.asarray(scal)
+                idx_arr = jnp.asarray(idx_arr)
+                extra_rows = jnp.asarray(extra_rows)
+                block_rows = jnp.asarray(block_rows)
+                gens_rows = jnp.asarray(gens_rows)
+                valid = jnp.asarray(valid)
+            sigma_parts = tuple(s["sigma"] for s in chunk_states)
+            range_parts = tuple(s["range"] for s in chunk_states)
+            r_accs = tuple(s["r_acc"] for s in chunk_states if s["nk"])
+            nk_tuple = tuple(s["nk"] for s in chunk_states if s["nk"])
+            fn = self._final_fn(
+                len(chunk_states), nk_tuple, ns_s, nr_s, m_block, k_gens, e_pad
+            )
+            pending = fn(
+                sigma_parts, range_parts, r_accs,
+                block_rows, gens_rows, extra_rows, idx_arr, scal, valid,
+            )
+        with span("fused_check.pull"):
+            out = _np.asarray(pending)  # the single host sync
+        all_valid = bool(out[0, 2])
+        sigma_ok = bool(out[0, 0]) and all_valid
+        range_ok = bool(out[0, 1]) and all_valid
+        r_bytes = out[1:]
+        sig_ok = all_valid
+        if sig_ok:
+            row = 0
+            e_i = 0
+            for st in chunk_states:
+                if not st["nk"]:
+                    continue
+                for j in range(st["n_sigs"]):
+                    sig, _pt, pk_compressed, message = sig_entries[e_i]
+                    e_i += 1
+                    h = hashlib.sha3_512()
+                    h.update(pk_compressed.data)
+                    h.update(message)
+                    h.update(bytes(r_bytes[row + j]))
+                    if sc.from_bytes_mod_order_wide(h.digest()) != sig.e:
+                        sig_ok = False
+                        break
+                if not sig_ok:
+                    break
+                row += st["nk"]
+        return sigma_ok, range_ok, sig_ok
+
     def _phase_shardings(self, n_args: int):
         """in_shardings for the phase jits: lane-sharded idx + scalar
         payload, replicated point rows.  None (auto) without a mesh."""

@@ -163,6 +163,52 @@ class BatchCollector:
         for t, i, c in self.plan_h:
             self.h_scalar += val(t, i) * c
 
+    def resolve_deferred_chunk(
+        self, outs: list, tx_lo: int, tx_hi: int, plan_lo: int, g_lo: int, h_lo: int
+    ):
+        """Chunked resolve_deferred (the pipelined verifier resolves and
+        dispatches each tx chunk while later chunks still pre_verify).
+
+        Processes plan[plan_lo:], plan_g[g_lo:], plan_h[h_lo:] — whose
+        entries all reference txs in [tx_lo, tx_hi) — against the chunk's
+        fold outputs, ACCUMULATING g/h and returning the chunk's dynamic
+        scalar byte array (matching dynamic_points[plan_lo:])."""
+        import numpy as _np
+
+        from . import scalarops
+
+        entries = self.plan[plan_lo:]
+        offsets = {}
+        total = 0
+        for t in range(tx_lo, tx_hi):
+            offsets[t] = total
+            total += outs[t].shape[0]
+        chunk_outs = (
+            _np.concatenate([outs[t] for t in range(tx_lo, tx_hi)])
+            if tx_hi > tx_lo
+            else _np.zeros((0, 32), _np.uint8)
+        )
+        idx = _np.fromiter(
+            (offsets[t] + i for t, i, _ in entries), dtype=_np.int64,
+            count=len(entries),
+        )
+        gathered = chunk_outs[idx]
+        neg_rows = _np.fromiter(
+            (j for j, (_, _, c) in enumerate(entries) if c == -1), dtype=_np.int64
+        )
+        if neg_rows.size:
+            sub = gathered[neg_rows]
+            gathered[neg_rows] = scalarops.sub(_np.zeros_like(sub), sub)
+
+        def val(t, i):
+            return int.from_bytes(outs[t][i].tobytes(), "little")
+
+        for t, i, c in self.plan_g[g_lo:]:
+            self.g_scalar += val(t, i) * c
+        for t, i, c in self.plan_h[h_lo:]:
+            self.h_scalar += val(t, i) * c
+        return gathered
+
     def extend(self, scalar_point_pairs) -> None:
         for s, p in scalar_point_pairs:
             self.dynamic_scalars.append(s % scalars.L)

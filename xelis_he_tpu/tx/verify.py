@@ -412,6 +412,45 @@ def _get_fold_worker() -> _FoldWorker:
     return worker
 
 
+class _DevicePump:
+    """Forces in-flight device work to completion from a side thread.
+
+    jax dispatch is nominally async, but on remote/tunneled backends
+    execution can effectively start only when a result is demanded; this
+    pump calls jax.block_until_ready on each dispatched chunk's outputs
+    (a GIL-released wait, no transfer) so the device crunches chunk k
+    while the main thread pre_verifies chunk k+1."""
+
+    def __init__(self):
+        import queue
+
+        self._q = queue.SimpleQueue()
+        self._thread = _threading.Thread(
+            target=self._loop, daemon=True, name="xelis-pump"
+        )
+        self._thread.start()
+
+    def _loop(self):
+        import jax
+
+        while True:
+            obj = self._q.get()
+            try:
+                jax.block_until_ready(obj)
+            except Exception:  # surface errors at the block's single sync
+                pass
+
+    def submit(self, obj) -> None:
+        self._q.put(obj)
+
+
+def _get_device_pump() -> _DevicePump:
+    pump = getattr(_fold_tls, "pump", None)
+    if pump is None:
+        pump = _fold_tls.pump = _DevicePump()
+    return pump
+
+
 def _tx_padded_commitments(tx: Transaction) -> int:
     n = len(tx.new_source_commitments) + (
         len(tx.data) if isinstance(tx.data, list) else 0
@@ -423,16 +462,20 @@ def _fused_deferred(
     accel, txs, state, collector, folds, sig_entries, tx_bytes_pairs,
     metrics, span,
 ):
-    """Pipelined deferred-fold block verification.
+    """Chunked, pipelined deferred-fold block verification.
 
-    Per tx (main thread): pre_verify -> range-proof view -> queue the whole
-    transcript replay + scalar fold as ONE native script, then hand the
-    script to the persistent fold worker.  The worker executes scripts
-    (GIL-free C++) concurrently with the main thread's pre_verify of later
-    transactions; each script is serial internally so Fiat-Shamir stays
-    byte-exact.  After the last submission the main thread steals the
-    remaining jobs, then the two fused device MSM checks run with ONE host
-    sync."""
+    The block is processed in tx CHUNKS (XELIS_VERIFY_CHUNK_TXS, default
+    256).  Per chunk: pre_verify every tx (queueing each tx's transcript
+    replay + scalar fold as ONE native script on the GIL-free C++ worker
+    pool), drain the chunk's folds, resolve the chunk's sigma + range
+    scalars, and DISPATCH the chunk's dynamic MSM lanes to the device with
+    the group reduction fused in — the device crunches chunk k while the
+    host pre_verifies chunk k+1, so the block costs ~max(host, device)
+    instead of their sum.  A final fused call folds the C per-chunk partial
+    sums with the SHARED lanes (collector G/H slots, Pedersen bases, BP
+    generators); the whole block still costs exactly ONE host sync."""
+    import os
+
     import numpy as np
 
     from .. import scalarops, scalars
@@ -441,6 +484,7 @@ def _fused_deferred(
 
     n_txs = len(txs)
     max_nm = max(64 * _tx_padded_commitments(tx) for tx in txs)
+    chunk_txs = max(1, int(os.environ.get("XELIS_VERIFY_CHUNK_TXS", "256")))
 
     worker = _get_fold_worker()
     # one accumulator set per worker thread + one for main (work stealing)
@@ -463,54 +507,78 @@ def _fused_deferred(
             b_bufs[ci].ctypes.data, bb_bufs[ci].ctypes.data,
         )
 
-    worker.begin(run_one)
+    chunk_states = []
+    n_sigma_lanes = 0
+    n_range_lanes = 0
+    for lo in range(0, n_txs, chunk_txs):
+        hi = min(lo + chunk_txs, n_txs)
+        worker.begin(run_one)
+        plan_lo = len(collector.plan)
+        g_lo, h_lo = len(collector.plan_g), len(collector.plan_h)
+        sig_lo = len(sig_entries)
+        chunk_range_points: list = []
+        dyn_info = []
+        with span("verify_batch.pre_verify"):
+            for i in range(lo, hi):
+                tx = txs[i]
+                collector.set_deferred(i, folds[i])
+                transcript, commitments = pre_verify(
+                    tx,
+                    state,
+                    collector,
+                    sig_entries=sig_entries,
+                    tx_bytes_pair=tx_bytes_pairs[i] if tx_bytes_pairs else None,
+                )
+                view = tx.range_proof.verification_view(transcript, commitments, 64)
+                rho = scalars.random_scalar()
+                c = scalars.random_scalar()
+                base, cnt, pts = view.proof.queue_batch_fold(
+                    folds[i], view.value_commitments, view.n, BP_GENS, rho, c
+                )
+                dyn_info.append((i, base, cnt))
+                chunk_range_points.extend(pts)
+                outs[i] = np.empty((max(folds[i].n_out, 1), 32), dtype=np.uint8)
+                scripts[i] = folds[i].script()
+                worker.submit(i)
+            collector.deferred = None
 
-    dyn_info = []
-    range_points: list = []
-    with span("verify_batch.pre_verify"):
-        for i, tx in enumerate(txs):
-            collector.set_deferred(i, folds[i])
-            transcript, commitments = pre_verify(
-                tx,
-                state,
-                collector,
-                sig_entries=sig_entries,
-                tx_bytes_pair=tx_bytes_pairs[i] if tx_bytes_pairs else None,
+        with span("verify_batch.fold_drain"):
+            worker.drain()
+        for i in range(lo, hi):
+            if rcs[i] == 1:
+                raise TranscriptError("point should not be the identity")
+            if rcs[i] != 0:
+                raise ProofVerificationError(
+                    "format", f"malformed fold script (tx {i})"
+                )
+
+        with span("verify_batch.chunk_dispatch"):
+            sigma_sc = collector.resolve_deferred_chunk(
+                outs, lo, hi, plan_lo, g_lo, h_lo
             )
-            view = tx.range_proof.verification_view(transcript, commitments, 64)
-            rho = scalars.random_scalar()
-            c = scalars.random_scalar()
-            base, cnt, pts = view.proof.queue_batch_fold(
-                folds[i], view.value_commitments, view.n, BP_GENS, rho, c
+            sigma_pts = collector.dynamic_points[plan_lo:]
+            range_sc = np.concatenate(
+                [outs[i][base : base + cnt] for i, base, cnt in dyn_info]
             )
-            dyn_info.append((base, cnt))
-            range_points.extend(pts)
-            outs[i] = np.empty((max(folds[i].n_out, 1), 32), dtype=np.uint8)
-            scripts[i] = folds[i].script()
-            worker.submit(i)
-        collector.deferred = None
-        range_points.append(PC_GENS.B)
-        range_points.append(PC_GENS.B_blinding)
-        range_points.append(("__bp_gens__", 64, max_nm // 64))
+            st = accel.chunk_lanes_begin(
+                (sigma_sc, sigma_pts),
+                (range_sc, chunk_range_points),
+                sig_entries[sig_lo:],
+            )
+            chunk_states.append(st)
+            if accel.backend == "jax":
+                _get_device_pump().submit(
+                    (st["sigma"], st["range"], st["r_acc"])
+                )
+        n_sigma_lanes += len(sigma_sc)
+        n_range_lanes += len(range_sc)
 
-    with span("verify_batch.fold_drain"):
-        worker.drain()
-    for i, rc in enumerate(rcs):
-        if rc == 1:
-            raise TranscriptError("point should not be the identity")
-        if rc != 0:
-            raise ProofVerificationError("format", f"malformed fold script (tx {i})")
-
-    with span("verify_batch.sigma_dispatch"):
-        collector.resolve_deferred(outs)
-        sigma_sc, sigma_pts = collector.msm_inputs()
-        state_a = accel.fused_block_begin((sigma_sc, sigma_pts), sig_entries)
-    metrics.incr("verify_batch.sigma_msm_points", len(sigma_sc))
+    metrics.incr("verify_batch.sigma_msm_points", n_sigma_lanes + 2)
+    metrics.incr(
+        "verify_batch.range_msm_points", n_range_lanes + 2 * max_nm + 2
+    )
 
     with span("verify_batch.range_fold"):
-        dyn_chunks = [
-            outs[i][base : base + cnt] for i, (base, cnt) in enumerate(dyn_info)
-        ]
         g_total, h_total = g_bufs[0], h_bufs[0]
         b_total, bb_total = b_bufs[0], bb_bufs[0]
         for k in range(1, n_slots):
@@ -518,13 +586,22 @@ def _fused_deferred(
             scalarops.axpy_(h_total, h_bufs[k], 1)
             scalarops.axpy_(b_total, b_bufs[k], 1)
             scalarops.axpy_(bb_total, bb_bufs[k], 1)
-        range_scalars = np.concatenate(
-            dyn_chunks + [b_total, bb_total, g_total, h_total]
+        shared_sigma_sc = scalarops.ints_to_array(
+            [collector.g_scalar % scalars.L, collector.h_scalar % scalars.L]
         )
-    metrics.incr("verify_batch.range_msm_points", len(range_points))
+        from ..sigma import G as _G
+        from ..elgamal import H as _H
+
+        shared_sigma = (shared_sigma_sc, [_G, _H])
+        shared_range = (
+            np.concatenate([b_total, bb_total, g_total, h_total]),
+            [PC_GENS.B, PC_GENS.B_blinding, ("__bp_gens__", 64, max_nm // 64)],
+        )
 
     with span("verify_batch.device_checks"):
-        return accel.fused_block_finish(state_a, (range_scalars, range_points))
+        return accel.fused_chunks_finish(
+            chunk_states, shared_sigma, shared_range, sig_entries
+        )
 
 
 def verify_batch(
@@ -573,6 +650,8 @@ def verify_batch(
             # host<->device sync.
             encodings = _collect_compressed(txs)
             accel.begin_block_async(encodings)
+            if accel.backend == "jax":
+                _get_device_pump().submit(accel._block_state().pending)
             # overlap the device work with host-side serialization
             tx_bytes_pairs = [tx.to_bytes() for tx in txs]
         metrics.incr("verify_batch.decompressed_points", len(encodings))
