@@ -518,29 +518,38 @@ def _fused_deferred(
         sig_lo = len(sig_entries)
         chunk_range_points: list = []
         dyn_info = []
-        with span("verify_batch.pre_verify"):
-            for i in range(lo, hi):
-                tx = txs[i]
-                collector.set_deferred(i, folds[i])
-                transcript, commitments = pre_verify(
-                    tx,
-                    state,
-                    collector,
-                    sig_entries=sig_entries,
-                    tx_bytes_pair=tx_bytes_pairs[i] if tx_bytes_pairs else None,
-                )
-                view = tx.range_proof.verification_view(transcript, commitments, 64)
-                rho = scalars.random_scalar()
-                c = scalars.random_scalar()
-                base, cnt, pts = view.proof.queue_batch_fold(
-                    folds[i], view.value_commitments, view.n, BP_GENS, rho, c
-                )
-                dyn_info.append((i, base, cnt))
-                chunk_range_points.extend(pts)
-                outs[i] = np.empty((max(folds[i].n_out, 1), 32), dtype=np.uint8)
-                scripts[i] = folds[i].script()
-                worker.submit(i)
-            collector.deferred = None
+        try:
+            with span("verify_batch.pre_verify"):
+                for i in range(lo, hi):
+                    tx = txs[i]
+                    collector.set_deferred(i, folds[i])
+                    transcript, commitments = pre_verify(
+                        tx,
+                        state,
+                        collector,
+                        sig_entries=sig_entries,
+                        tx_bytes_pair=tx_bytes_pairs[i] if tx_bytes_pairs else None,
+                    )
+                    view = tx.range_proof.verification_view(transcript, commitments, 64)
+                    rho = scalars.random_scalar()
+                    c = scalars.random_scalar()
+                    base, cnt, pts = view.proof.queue_batch_fold(
+                        folds[i], view.value_commitments, view.n, BP_GENS, rho, c
+                    )
+                    dyn_info.append((i, base, cnt))
+                    chunk_range_points.extend(pts)
+                    outs[i] = np.empty((max(folds[i].n_out, 1), 32), dtype=np.uint8)
+                    scripts[i] = folds[i].script()
+                    worker.submit(i)
+                collector.deferred = None
+        except BaseException:
+            # settle in-flight fold jobs before propagating, so a later
+            # verify_batch's worker.begin() never races them
+            try:
+                worker.drain()
+            except BaseException:  # pragma: no cover - best-effort settle
+                pass
+            raise
 
         with span("verify_batch.fold_drain"):
             worker.drain()
