@@ -88,8 +88,10 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
+    sections = os.environ.get("XELIS_MATRIX_SECTIONS", "A,B,C").split(",")
+
     # A. single tx, n transfers (create + verify)
-    for n in (1, 2, 4, 8, 16):
+    for n in (1, 2, 4, 8, 16) if "A" in sections else ():
         txs, ledger, build_s = build_block(1, n)
         best = timed_verify(txs, ledger)
         rec = {
@@ -106,7 +108,7 @@ def main():
         int(x)
         for x in os.environ.get("XELIS_MATRIX_BATCHES", "1,4,16,64,256").split(",")
     )
-    for n in batches:
+    for n in batches if "B" in sections else ():
         txs, ledger, build_s = build_block(n, 1)
         best = timed_verify(txs, ledger)
         rec = {
@@ -119,6 +121,8 @@ def main():
         print(json.dumps(rec), flush=True)
 
     # C. aggregation stress
+    if "C" not in sections:
+        return
     m, t = (16, 255) if args.full else (16, 64)
     txs, ledger, build_s = build_block(m, t)
     best = timed_verify(txs, ledger)

@@ -2,14 +2,17 @@ import os
 import sys
 
 # Multi-device CPU mesh emulation for sharding tests (SURVEY.md §7 pod-scale):
-# must be set before jax import.  FORCE cpu (not setdefault): the axon
-# environment pre-sets JAX_PLATFORMS=axon and its sitecustomize registers
-# the tunneled-TPU backend whenever PALLAS_AXON_POOL_IPS is set — the test
-# suite is CPU-deterministic by design (TPU coverage comes from bench.py
-# and the driver's compile checks).
+# must be set before jax import.
+#
+# NOTE: do NOT force JAX_PLATFORMS or clear PALLAS_AXON_POOL_IPS here.  The
+# axon sitecustomize registers its backend at INTERPRETER boot (before
+# conftest runs); mutating the platform env afterwards leaves the runtime
+# half-configured and even plain CPU array pulls deadlock.  Tests that need
+# a guaranteed-clean CPU process (tests/test_dcn.py) set the env on their
+# SUBPROCESS instead, which takes effect at boot.  In-process tests request
+# CPU devices explicitly (jax.devices("cpu")).
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -731,14 +731,16 @@ class Accelerator:
         cache[key] = fn
         return fn
 
-    def chunk_lanes_begin(self, sigma, range_, sig_entries):
+    def chunk_lanes_begin(self, sigma, range_, sig_entries, floors=None):
         """Dispatch one chunk's dynamic lanes WITHOUT waiting.  Returns an
         opaque handle for ``fused_chunks_finish``.
 
         sigma/range_: (scalars, points) with points as 32-byte encodings /
         host points (no generator markers — shared lanes go in the final
         combine); sig_entries: this chunk's (signature, pubkey, compressed,
-        message) tuples."""
+        message) tuples.  ``floors``: (ns, nr, nk) minimum lane counts —
+        callers pass the first chunk's shape so a smaller last chunk reuses
+        the SAME compiled kernel instead of tracing a new shape."""
         from .. import scalars as sc
         from ..elgamal import H as _H
         from ..metrics import span
@@ -753,9 +755,14 @@ class Accelerator:
             # small granule keeps eager-numpy/CPU work proportional for tiny
             # blocks; still divides any mesh size up to 64
             g1, g2 = 64, 64
-        ns = self._round_up(len(sigma_sc), g1)
-        nr = self._round_up(len(range_sc), g1)
-        nk = self._round_up(len(sig_entries), g2) if sig_entries else 0
+        f_ns, f_nr, f_nk = floors or (0, 0, 0)
+        ns = self._round_up(max(len(sigma_sc), f_ns), g1)
+        nr = self._round_up(max(len(range_sc), f_nr), g1)
+        nk = (
+            self._round_up(max(len(sig_entries), f_nk), g2)
+            if (sig_entries or f_nk)
+            else 0
+        )
 
         sig_s = [e[0].s for e in sig_entries]
         sig_e = [(-e[0].e) % sc.L for e in sig_entries]
@@ -808,6 +815,8 @@ class Accelerator:
             "sigma": sigma_acc,
             "range": rng_acc,
             "r_acc": r_acc,
+            "ns": ns,
+            "nr": nr,
             "nk": nk,
             "n_sigs": len(sig_entries),
         }

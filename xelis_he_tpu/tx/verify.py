@@ -573,6 +573,11 @@ def _fused_deferred(
                 (sigma_sc, sigma_pts),
                 (range_sc, chunk_range_points),
                 sig_entries[sig_lo:],
+                floors=(
+                    (chunk_states[0]["ns"], chunk_states[0]["nr"], chunk_states[0]["nk"])
+                    if chunk_states
+                    else None
+                ),
             )
             chunk_states.append(st)
             if accel.backend == "jax":
