@@ -1,6 +1,6 @@
 """Batched Ristretto/extended-Edwards point operations (TPU-native).
 
-Points are structure-of-arrays tuples ``(X, Y, Z, T)`` of (..., 16)-limb
+Points are structure-of-arrays tuples ``(X, Y, Z, T)`` of (..., 18)-limb
 uint32 tensors (see ops.fe).  All operations are branch-free and vectorized
 over the leading batch axes; under jax they trace into fused XLA kernels.
 

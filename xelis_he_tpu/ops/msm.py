@@ -236,7 +236,7 @@ class MsmEngine:
         """Per-lane r_i = a_i*Q + b_i*P_i with a SHARED base Q.
 
         Used for batched Schnorr verification (r = s*H - e*P): Q's doubles
-        are precomputed host-side (``q_table``: point-tuple of (n_bits, 16)
+        are precomputed host-side (``q_table``: point-tuple of (n_bits, 18)
         arrays), so each scan step costs 2 masked adds + 1 double.
         Returns an (N,)-batch of points.
         """

@@ -92,7 +92,7 @@ class ShardedMsm:
         self._sharded = jax.jit(shard)
 
     def msm_device(self, points, bits):
-        """points: tuple of (N, 16) arrays; bits: (n_bits, N); N must be a
+        """points: tuple of (N, 18) arrays; bits: (n_bits, N); N must be a
         multiple of the mesh size (pad with identity/zero lanes)."""
         return self._sharded(points, bits)
 
