@@ -106,8 +106,13 @@ class ShardedMsm:
         pad = (-n) % self.n_devices
         scalars = list(scalars) + [0] * pad
         points = list(points) + [IDENTITY] * pad
-        bits = jnp.asarray(decompose_bits(scalars))
-        batch = self.curve.from_points(points)
+        # stage inputs in host numpy: building them on the DEFAULT backend
+        # (possibly a remote TPU) would force a device->device round-trip
+        # just to place shards on the mesh
+        from ..ops.curve import numpy_curve
+
+        bits = decompose_bits(scalars)
+        batch = numpy_curve().from_points(points)
         res = self.msm_device(batch, bits)
         return self.curve.to_points(tuple(c[None] for c in res))[0]
 
@@ -140,14 +145,18 @@ class MultiDeviceMsm:
         pad = chunk * d - n
         scalars = list(scalars) + [0] * pad
         points = list(points) + [IDENTITY] * pad
+        # stage in host numpy (NOT the default backend: placing shards from a
+        # remote default device would round-trip every shard through it)
+        from ..ops.curve import numpy_curve
+
         bits = decompose_bits(scalars)
-        batch = self.curve.from_points(points)
+        batch = numpy_curve().from_points(points)
 
         futures = []
         for i, dev in enumerate(self.devices):
             sl = slice(i * chunk, (i + 1) * chunk)
             shard = tuple(jax.device_put(c[sl], dev) for c in batch)
-            shard_bits = jax.device_put(jnp.asarray(bits[:, sl]), dev)
+            shard_bits = jax.device_put(bits[:, sl], dev)
             futures.append(self._jit(shard, shard_bits))
 
         total = IDENTITY
