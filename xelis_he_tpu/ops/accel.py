@@ -47,7 +47,7 @@ def _tree_reduce_group(curve: Curve, acc, start: int, count: int):
     from .msm import _tree_reduce
 
     group = tuple(c[start : start + count] for c in acc)
-    return _tree_reduce(curve, group, count)
+    return _tree_reduce(curve, group, count, use_jax=curve.xp.__name__ != "numpy")
 
 
 class Accelerator:
@@ -738,9 +738,10 @@ class Accelerator:
         sigma/range_: (scalars, points) with points as 32-byte encodings /
         host points (no generator markers — shared lanes go in the final
         combine); sig_entries: this chunk's (signature, pubkey, compressed,
-        message) tuples.  ``floors``: (ns, nr, nk) minimum lane counts —
-        callers pass the first chunk's shape so a smaller last chunk reuses
-        the SAME compiled kernel instead of tracing a new shape."""
+        message) tuples.  ``floors``: (ns, nr, nk, e_pad) minimum lane/extra
+        counts — callers pass the first chunk's shape so a smaller last
+        chunk reuses the SAME compiled kernel instead of tracing a new
+        shape."""
         from .. import scalars as sc
         from ..elgamal import H as _H
         from ..metrics import span
@@ -755,7 +756,7 @@ class Accelerator:
             # small granule keeps eager-numpy/CPU work proportional for tiny
             # blocks; still divides any mesh size up to 64
             g1, g2 = 64, 64
-        f_ns, f_nr, f_nk = floors or (0, 0, 0)
+        f_ns, f_nr, f_nk, f_ep = floors or (0, 0, 0, 0)
         ns = self._round_up(max(len(sigma_sc), f_ns), g1)
         nr = self._round_up(max(len(range_sc), f_nr), g1)
         nk = (
@@ -795,7 +796,9 @@ class Accelerator:
                 idx.extend(
                     self._resolve_lane_points(group_pts, group_total, m_block, 0, extras)
                 )
-            e_pad = self._round_up(len(extras), 64)
+            # coarse granule + first-chunk floor: per-chunk wobble in the
+            # extras count must not mint a fresh (30s+) kernel compile
+            e_pad = self._round_up(max(len(extras), f_ep), 512)
             extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
             extra_rows[: len(extras)] = self._points_to_rows(extras)
             idx_arr = _np.asarray(idx, dtype=_np.int32)
@@ -818,6 +821,7 @@ class Accelerator:
             "ns": ns,
             "nr": nr,
             "nk": nk,
+            "e_pad": e_pad,
             "n_sigs": len(sig_entries),
         }
 

@@ -108,10 +108,16 @@ def _inclusive_scan(curve: Curve, flags, pts, use_jax: bool):
 def _tree_reduce(curve: Curve, pts, n: int, use_jax: bool = False):
     """Pairwise-add reduction of the leading axis (identity-padded).
 
-    Work-efficient: shapes HALVE each level (total adds ~= n, not n*log n),
-    with a chunked reshape so the unrolled graph stays small.  Each step
-    folds the top half onto the bottom half; odd sizes park the middle lane
-    and fold it in at the end.
+    On the jax path large reductions are expressed with loop primitives so
+    the traced graph stays SMALL (a point add is ~1k limb primitives; an
+    unrolled log2(n)-level tree made the fused-verification jits take
+    minutes to trace + compile):
+
+    - stage 1: reshape (W,) -> (G, R) and ``lax.scan`` rows into an R-lane
+      accumulator (work-efficient, ONE traced add body);
+    - stage 2: halving tree over the R lanes as a ``fori_loop`` whose body
+      gathers lane i+half onto lane i (full-width adds; lanes beyond the
+      current half are never read again, so no masking is needed).
     """
     xp = curve.xp
     size = 1
@@ -120,6 +126,29 @@ def _tree_reduce(curve: Curve, pts, n: int, use_jax: bool = False):
     if size != n:
         pad = curve.identity((size - n,))
         pts = tuple(xp.concatenate([c, p], axis=0) for c, p in zip(pts, pad))
+
+    if use_jax and size > 32:
+        from jax import lax
+
+        R = min(size, 128)
+        G = size // R
+        if G > 1:
+            rows = tuple(c.reshape(G, R, *c.shape[1:]) for c in pts)
+
+            def _row(acc, row):
+                return curve.add(acc, row), None
+
+            pts, _ = lax.scan(_row, curve.identity((R,)), rows)
+        idx = xp.arange(R)
+
+        def _level(k, p):
+            half = R >> (k + 1)
+            hi = tuple(c[(idx + half) % R] for c in p)
+            return curve.add(p, hi)
+
+        levels = R.bit_length() - 1
+        pts = lax.fori_loop(0, levels, _level, pts, unroll=False)
+        return tuple(c[0] for c in pts)
 
     while size > 1:
         half = size // 2

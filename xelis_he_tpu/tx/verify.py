@@ -574,7 +574,12 @@ def _fused_deferred(
                 (range_sc, chunk_range_points),
                 sig_entries[sig_lo:],
                 floors=(
-                    (chunk_states[0]["ns"], chunk_states[0]["nr"], chunk_states[0]["nk"])
+                    (
+                        chunk_states[0]["ns"],
+                        chunk_states[0]["nr"],
+                        chunk_states[0]["nk"],
+                        chunk_states[0]["e_pad"],
+                    )
                     if chunk_states
                     else None
                 ),
