@@ -43,10 +43,74 @@ def test_multi_device_msm_matches_reference():
     assert md.msm_points(scs[:15], pts[:15]) == multiscalar_mul(scs[:15], pts[:15])
 
 
+@pytest.fixture(scope="module")
+def cpu_mesh2():
+    try:
+        devices = jax.devices("cpu")
+    except Exception:
+        pytest.skip("no cpu backend")
+    if len(devices) < 2:
+        pytest.skip("need 2 emulated cpu devices")
+    return make_mesh(2, devices=devices)
+
+
+def test_sharded_msm_2dev_matches_reference(cpu_mesh2):
+    """Default-on shard_map coverage: partial-MSM + all_gather over a
+    2-device mesh (fast with the persistent compile cache)."""
+    sm = ShardedMsm(cpu_mesh2)
+    n = 16
+    pts = [mul_base(i + 1) for i in range(n)]
+    scs = [secrets.randbelow(L) for _ in range(n)]
+    assert sm.msm_points(scs, pts) == multiscalar_mul(scs, pts)
+    # padding path: n not a multiple of the mesh size
+    assert sm.msm_points(scs[:13], pts[:13]) == multiscalar_mul(scs[:13], pts[:13])
+
+
+def test_sharded_verify_batch_2dev(cpu_mesh2):
+    """Default-on mesh coverage of the REAL verification path: a tiny block
+    through verify_batch with the fused-check lanes sharded over a 2-device
+    mesh (the shape of bug that slipped through two rounds of env-gated
+    tests: chunk-partial out_shardings vs the final combine's demands)."""
+    from xelis_he_tpu import (
+        NATIVE_ASSET,
+        TransactionBuilder,
+        TransferBuilder,
+        TransfersBuilder,
+        verify_batch,
+    )
+    from xelis_he_tpu.mock import Account, GenerationBalance, Ledger
+    from xelis_he_tpu.ops.accel import Accelerator
+
+    accel = Accelerator("jax", mesh=cpu_mesh2)
+    ledger = Ledger()
+    receiver = Account([(NATIVE_ASSET, 0)])
+    pk_r = ledger.add_account(receiver)
+    txs = []
+    for i in range(2):
+        sender = Account([(NATIVE_ASSET, 100)])
+        pk_s = ledger.add_account(sender)
+        builder = TransactionBuilder(
+            version=1,
+            source=pk_s,
+            data=TransfersBuilder(
+                [TransferBuilder(asset=NATIVE_ASSET, amount=10 + i, dest_pubkey=pk_r)]
+            ),
+            fee=1,
+            nonce=0,
+        )
+        txs.append(
+            builder.build(GenerationBalance({NATIVE_ASSET: 100}, sender), sender.keypair)
+        )
+    state = ledger.clone()
+    verify_batch(txs, state, accel=accel)
+    assert state.get_bal_decrypted(pk_r, NATIVE_ASSET) == mul_base(21)
+
+
 @pytest.mark.skipif(
     not _RUN_SHARD_MAP,
-    reason="shard_map SPMD compiles take ~5-10 min on the CPU emulator; "
-    "set XELIS_MESH_TESTS=1 (the driver exercises dryrun_multichip separately)",
+    reason="8-device shard_map SPMD compiles take minutes cold on the CPU "
+    "emulator; set XELIS_MESH_TESTS=1 (2-device coverage runs by default, "
+    "and the driver exercises dryrun_multichip(8) separately)",
 )
 def test_sharded_msm_matches_reference(cpu_mesh):
     sm = ShardedMsm(cpu_mesh)
@@ -60,7 +124,8 @@ def test_sharded_msm_matches_reference(cpu_mesh):
 
 @pytest.mark.skipif(
     not _RUN_SHARD_MAP,
-    reason="covered by the driver's dryrun_multichip; set XELIS_MESH_TESTS=1",
+    reason="covered by the default 2-device tests + the driver's "
+    "dryrun_multichip; set XELIS_MESH_TESTS=1 for the 4-device variant",
 )
 def test_graft_dryrun(cpu_mesh):
     import importlib.util

@@ -725,7 +725,16 @@ class Accelerator:
         if self.backend == "jax":
             import jax
 
-            fn = jax.jit(_run_chunk, in_shardings=self._phase_shardings(4))
+            shardings = self._phase_shardings(4)
+            out_sh = None
+            if shardings is not None:
+                # Chunk partials are tiny (4,18)/(nk,4,18) arrays consumed
+                # replicated by _final_fn's in_shardings; without an explicit
+                # out_shardings GSPMD picks a partial tiling on big meshes and
+                # the final jit rejects the mismatch.
+                repl = shardings[0]
+                out_sh = (repl, repl, repl)
+            fn = jax.jit(_run_chunk, in_shardings=shardings, out_shardings=out_sh)
         else:
             fn = _run_chunk
         cache[key] = fn
