@@ -625,4 +625,29 @@ int xhe_tx_fold(Strobe *strobe, const uint8_t *script, size_t script_len,
   return 0;
 }
 
+// Grouped fold executor: run ``n`` transaction fold scripts in ONE FFI call
+// (one GIL release for the whole group instead of per tx — on small hosts
+// the per-job Python/ctypes overhead of per-tx calls measurably steals CPU
+// from the pre_verify producer thread).  Scripts ride as one concatenated
+// blob with ``offs[n+1]`` byte offsets; scalar outputs land in one blob at
+// 32-byte rows ``out_offs[i] .. out_offs[i+1]``.  ``strobes`` is an array
+// of Strobe* values.  Per-tx return codes land in ``rcs``; returns nonzero
+// if any script failed (all scripts still run — the per-slot g/h
+// accumulators stay consistent for the block regardless).
+int xhe_tx_fold_group(size_t n, const uint64_t *strobes,
+                      const uint8_t *scripts, const uint64_t *offs,
+                      uint8_t *outs, const uint64_t *out_offs,
+                      uint8_t *g_acc, uint8_t *h_acc, uint8_t *b_acc,
+                      uint8_t *bb_acc, int32_t *rcs) {
+  int any = 0;
+  for (size_t i = 0; i < n; ++i) {
+    int rc = xhe_tx_fold((Strobe *)(uintptr_t)strobes[i], scripts + offs[i],
+                         (size_t)(offs[i + 1] - offs[i]),
+                         outs + 32 * out_offs[i], g_acc, h_acc, b_acc, bb_acc);
+    rcs[i] = rc;
+    if (rc) any = 1;
+  }
+  return any;
+}
+
 }  // extern "C"

@@ -84,3 +84,16 @@ lib.xhe_tx_fold.argtypes = [
     _vp, _vp,  # b_acc, bb_acc
 ]
 lib.xhe_tx_fold.restype = ctypes.c_int
+
+lib.xhe_tx_fold_group.argtypes = [
+    _sz,       # n
+    _vp,       # uint64 Strobe* array
+    _vp,       # concatenated script blob
+    _vp,       # uint64 byte offsets (n+1)
+    _vp,       # out scalar blob
+    _vp,       # uint64 out row offsets (n+1)
+    _vp, _vp,  # g_acc, h_acc
+    _vp, _vp,  # b_acc, bb_acc
+    _vp,       # int32 rcs array
+]
+lib.xhe_tx_fold_group.restype = ctypes.c_int

@@ -186,11 +186,15 @@ class Accelerator:
 
     def _lane_granule(self, n: int) -> int:
         """Pad lane counts so the Pallas grid divides evenly (TILE lanes per
-        program); the jnp engine only needs powers of two."""
+        program) AND the jit-key space stays in power-of-two buckets — a
+        block-size-proportional count (e.g. the decompression lane dim)
+        must not mint a fresh multi-10s kernel compile per block size."""
         if self.use_pallas:
             from .pallas_msm import TILE
 
-            return max(128, ((n + TILE - 1) // TILE) * TILE) if n > 128 else 128
+            if n <= 128:
+                return 128
+            return max(TILE, _next_pow2(n))
         return _next_pow2(n)
 
     # -- conversions --------------------------------------------------------
@@ -503,40 +507,67 @@ class Accelerator:
         rows = fe.from_ints(coords)  # (4*len, NLIMBS), vectorized
         return rows.reshape(len(points), 4, NLIMBS)
 
-    def _resolve_lane_points(self, pts, lane_total: int, m_block: int, k_gens: int, extras):
-        """Mixed point list -> lane->row index list (appended extras shared).
+    def _resolve_lane_points(
+        self, pts, lane_total: int, m_block: int, k_gens: int, extras,
+        extra_ids: dict | None = None,
+    ) -> _np.ndarray:
+        """Mixed point list -> (lane_total,) int32 row-index array.
 
-        Entries: 32-byte encodings (gathered from the block's device rows),
-        ("__bp_gens__", n, m) markers (expand to the generator cache), or
-        host RistrettoPoint objects (uploaded as extra rows).  ``extras``
-        must start with the identity point (used for lane padding).
-        Unresolved / never-decompressed encodings fall back to host
-        decompression (which raises on invalid data, preserving reference
-        error behavior)."""
+        Entries: int block-row indices (pre-resolved by the deferred
+        collector at push time — the common case, resolved here with ONE
+        vectorized ``np.fromiter``), 32-byte encodings (looked up in the
+        block index, host-decompressed as extras otherwise — raising on
+        invalid data preserves reference error behavior), ("__bp_gens__",
+        n, m) markers (expand to the generator cache rows), or host
+        RistrettoPoint objects (uploaded as extra rows, deduplicated via
+        ``extra_ids`` so e.g. the shared signature base H costs one row per
+        dispatch instead of one per lane).  ``extras`` must start with the
+        identity point (used for lane padding)."""
         from ..types import _decompress_point
 
-        block_index = self._block_state().index
-        idx: list[int] = []
         extra_base = m_block + k_gens
+        n = len(pts)
+        out = _np.empty(lane_total, dtype=_np.int32)
+        if n:
+            try:
+                out[:n] = _np.fromiter(pts, dtype=_np.int32, count=n)
+                out[n:] = extra_base  # identity padding (extras[0])
+                return out
+            except (TypeError, ValueError):
+                pass
+        block_index = self._block_state().index
+        w = 0
         for p in pts:
-            if isinstance(p, (bytes, bytearray)):
+            if type(p) is int:
+                out[w] = p
+                w += 1
+            elif isinstance(p, (bytes, bytearray)):
                 i = block_index.get(bytes(p))
                 if i is not None:
-                    idx.append(i)
+                    out[w] = i
                 elif bytes(p) == b"\x00" * 32:
-                    idx.append(extra_base)  # extras[0] is the identity
+                    out[w] = extra_base  # extras[0] is the identity
                 else:
                     extras.append(_decompress_point(bytes(p)))
-                    idx.append(extra_base + len(extras) - 1)
+                    out[w] = extra_base + len(extras) - 1
+                w += 1
             elif isinstance(p, tuple) and p and p[0] == "__bp_gens__":
                 _, nb, m = p
-                idx.extend(range(m_block, m_block + 2 * nb * m))
+                k = 2 * nb * m
+                out[w : w + k] = _np.arange(m_block, m_block + k, dtype=_np.int32)
+                w += k
             else:
-                extras.append(p)
-                idx.append(extra_base + len(extras) - 1)
-        assert len(idx) <= lane_total, f"{len(idx)} lanes > {lane_total}"
-        idx.extend([extra_base] * (lane_total - len(idx)))  # identity padding
-        return idx
+                row = extra_ids.get(id(p)) if extra_ids is not None else None
+                if row is None:
+                    extras.append(p)
+                    row = extra_base + len(extras) - 1
+                    if extra_ids is not None:
+                        extra_ids[id(p)] = row
+                out[w] = row
+                w += 1
+        assert w <= lane_total, f"{w} lanes > {lane_total}"
+        out[w:] = extra_base  # identity padding
+        return out
 
     # -- split-dispatch fused check -------------------------------------------
     #
@@ -795,22 +826,25 @@ class Accelerator:
             block_rows = blk.rows
             m_block = int(block_rows.shape[0]) if block_rows is not None else 0
             extras: list[RistrettoPoint] = [IDENTITY]
-            idx: list[int] = []
-            for group_pts, group_total in (
-                (list(sigma_pts), ns),
-                (list(range_pts), nr),
-                ([_H] * len(sig_entries), nk),
-                (list(sig_pts), nk),
-            ):
-                idx.extend(
-                    self._resolve_lane_points(group_pts, group_total, m_block, 0, extras)
-                )
-            # coarse granule + first-chunk floor: per-chunk wobble in the
-            # extras count must not mint a fresh (30s+) kernel compile
-            e_pad = self._round_up(max(len(extras), f_ep), 512)
+            extra_ids: dict = {}
+            idx_arr = _np.concatenate(
+                [
+                    self._resolve_lane_points(
+                        group_pts, group_total, m_block, 0, extras, extra_ids
+                    )
+                    for group_pts, group_total in (
+                        (list(sigma_pts), ns),
+                        (list(range_pts), nr),
+                        ([_H] * len(sig_entries), nk),
+                        (list(sig_pts), nk),
+                    )
+                ]
+            )
+            # coarse pow2 bucket + first-chunk floor: per-chunk wobble in
+            # the extras count must not mint a fresh (30s+) kernel compile
+            e_pad = max(512, _next_pow2(max(len(extras), f_ep)))
             extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
             extra_rows[: len(extras)] = self._points_to_rows(extras)
-            idx_arr = _np.asarray(idx, dtype=_np.int32)
             payload = all_scalars
             if block_rows is None:
                 block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
@@ -984,17 +1018,20 @@ class Accelerator:
             valid = blk.valid
             m_block = int(block_rows.shape[0]) if block_rows is not None else 0
             extras: list[RistrettoPoint] = [IDENTITY]
-            idx: list[int] = []
-            idx.extend(
-                self._resolve_lane_points(list(sigma_pts), ns_s, m_block, k_gens, extras)
-            )
-            idx.extend(
-                self._resolve_lane_points(list(range_pts), nr_s, m_block, k_gens, extras)
+            extra_ids: dict = {}
+            idx_arr = _np.concatenate(
+                [
+                    self._resolve_lane_points(
+                        list(sigma_pts), ns_s, m_block, k_gens, extras, extra_ids
+                    ),
+                    self._resolve_lane_points(
+                        list(range_pts), nr_s, m_block, k_gens, extras, extra_ids
+                    ),
+                ]
             )
             e_pad = self._round_up(len(extras), 64)
             extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
             extra_rows[: len(extras)] = self._points_to_rows(extras)
-            idx_arr = _np.asarray(idx, dtype=_np.int32)
             if block_rows is None:
                 block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
             if valid is None:
@@ -1010,6 +1047,16 @@ class Accelerator:
                 block_rows = jnp.asarray(block_rows)
                 gens_rows = jnp.asarray(gens_rows)
                 valid = jnp.asarray(valid)
+            # pad the chunk-partial list to a power of two with identity
+            # dummies: the final-combine jit key must not mint a fresh
+            # compile per block size (n_chunks tracks block_txs/chunk_txs)
+            n_real = len(chunk_states)
+            n_pad = _next_pow2(n_real)
+            if n_pad > n_real:
+                ident = self._points_to_rows([IDENTITY])[0]  # (4, NLIMBS)
+                dummy = {"sigma": ident, "range": ident, "r_acc": None,
+                         "nk": 0, "n_sigs": 0}
+                chunk_states = list(chunk_states) + [dummy] * (n_pad - n_real)
             sigma_parts = tuple(s["sigma"] for s in chunk_states)
             range_parts = tuple(s["range"] for s in chunk_states)
             r_accs = tuple(s["r_acc"] for s in chunk_states if s["nk"])
@@ -1102,19 +1149,22 @@ class Accelerator:
             block_rows = self._block_state().rows
             m_block = int(block_rows.shape[0]) if block_rows is not None else 0
             extras: list[RistrettoPoint] = [IDENTITY]
-            idx: list[int] = []
-            for group_pts, group_total in (
-                (list(sigma_pts), ns),
-                ([_H] * len(sig_entries), nk),
-                (list(sig_pts), nk),
-            ):
-                idx.extend(
-                    self._resolve_lane_points(group_pts, group_total, m_block, 0, extras)
-                )
+            extra_ids: dict = {}
+            idx_arr = _np.concatenate(
+                [
+                    self._resolve_lane_points(
+                        group_pts, group_total, m_block, 0, extras, extra_ids
+                    )
+                    for group_pts, group_total in (
+                        (list(sigma_pts), ns),
+                        ([_H] * len(sig_entries), nk),
+                        (list(sig_pts), nk),
+                    )
+                ]
+            )
             e_pad = self._round_up(len(extras), 64)
             extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
             extra_rows[: len(extras)] = self._points_to_rows(extras)
-            idx_arr = _np.asarray(idx, dtype=_np.int32)
             payload = all_scalars  # raw bytes; digit expansion on device
             if block_rows is None:
                 block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
@@ -1175,11 +1225,12 @@ class Accelerator:
                     k_gens = int(gens_rows.shape[0])
                     break
             extras: list[RistrettoPoint] = [IDENTITY]
-            idx = self._resolve_lane_points(list(range_pts), nr, m_block, k_gens, extras)
+            idx_arr = self._resolve_lane_points(
+                list(range_pts), nr, m_block, k_gens, extras, {}
+            )
             e_pad = self._round_up(len(extras), 64)
             extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
             extra_rows[: len(extras)] = self._points_to_rows(extras)
-            idx_arr = _np.asarray(idx, dtype=_np.int32)
             payload = scal  # raw bytes; digit expansion on device
             blk = self._block_state()
             block_rows = blk.rows
@@ -1391,24 +1442,25 @@ class Accelerator:
         # resolve each group separately so identity-padding lands per group
         with span("fused_check.resolve"):
             extras_all: list[RistrettoPoint] = [IDENTITY]
-            idx: list[int] = []
-            for group_pts, group_total in (
-                (list(sigma_pts), ns),
-                (list(range_pts), nr),
-                ([_H] * len(sig_entries), nk),
-                (list(sig_pts), nk),
-            ):
-                idx.extend(
+            extra_ids: dict = {}
+            idx_arr = _np.concatenate(
+                [
                     self._resolve_lane_points(
-                        group_pts, group_total, m_block, k_gens, extras_all
+                        group_pts, group_total, m_block, k_gens, extras_all, extra_ids
                     )
-                )
+                    for group_pts, group_total in (
+                        (list(sigma_pts), ns),
+                        (list(range_pts), nr),
+                        ([_H] * len(sig_entries), nk),
+                        (list(sig_pts), nk),
+                    )
+                ]
+            )
 
             e_pad = self._round_up(len(extras_all), 64)
             extra_rows = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
             extra_rows[: len(extras_all)] = self._points_to_rows(extras_all)
 
-        idx_arr = _np.asarray(idx, dtype=_np.int32)
         bits = all_scalars  # raw bytes; digit expansion on device
         valid = blk.valid
         if block_rows is None:

@@ -101,6 +101,11 @@ class BatchCollector:
         self.g_scalar = 0
         self.h_scalar = 0
         self.wants_bytes = wants_bytes
+        # optional encoding -> device-row resolver (the accelerator's block
+        # index); when set, deferred pushes store int row indices instead of
+        # bytes so the chunk dispatch resolves lanes with one vectorized
+        # gather instead of a per-lane dict walk
+        self.row_of = None
         self._msm = msm_fn or multiscalar_mul
         # deferred-fold state: (tx_index, DeferredTxFold) while a tx's
         # pre_verify runs; plan/plan_g/plan_h record how to resolve scalars
@@ -114,6 +119,11 @@ class BatchCollector:
         self.deferred = (tx_i, fold)
 
     def push_deferred(self, point, tx_i: int, out_idx: int, coeff: int) -> None:
+        row_of = self.row_of
+        if row_of is not None and type(point) is bytes:
+            row = row_of(point)
+            if row is not None:
+                point = row
         self.dynamic_points.append(point)
         self.plan.append((tx_i, out_idx, coeff))
 

@@ -281,6 +281,9 @@ def _collect_compressed(txs: list[Transaction]) -> list[bytes]:
     def put(b: bytes):
         seen.setdefault(b, None)
 
+    # identity first: dud/padding commitments resolve to a block row like
+    # every other lane (the identity encoding decompresses validly)
+    put(b"\x00" * 32)
     for tx in txs:
         put(tx.source.data)
         for c in tx.new_source_commitments:
@@ -485,6 +488,10 @@ def _fused_deferred(
     n_txs = len(txs)
     max_nm = max(64 * _tx_padded_commitments(tx) for tx in txs)
     chunk_txs = max(1, int(os.environ.get("XELIS_VERIFY_CHUNK_TXS", "256")))
+    # txs per fold job: ONE FFI call (one GIL release) per group — per-tx
+    # jobs spend a measurable share of the 2-core host budget on Python/
+    # ctypes dispatch overhead in the worker thread
+    fold_group = max(1, int(os.environ.get("XELIS_FOLD_GROUP", "32")))
 
     worker = _get_fold_worker()
     # one accumulator set per worker thread + one for main (work stealing)
@@ -495,24 +502,59 @@ def _fused_deferred(
     bb_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(n_slots)]
     outs: list = [None] * n_txs
     scripts: list = [None] * n_txs
-    rcs = [0] * n_txs
+    rcs = np.zeros(n_txs, dtype=np.int32)
 
-    def run_one(i: int) -> None:
+    # deferred pushes resolve encodings to device-row indices immediately
+    # (one dict hit at push time; the chunk dispatch then gathers lanes with
+    # one vectorized fromiter instead of a 30k-entry Python loop)
+    row_get = accel._block_state().index.get
+    collector.row_of = row_get
+
+    def run_group(job) -> None:
+        n_g, glo, h_arr, blob, offs, out_blob, out_offs = job
         ci = worker.slot()
-        rcs[i] = fold_lib.xhe_tx_fold(
-            folds[i].transcript.native_handle(),
-            scripts[i], len(scripts[i]),
-            outs[i].ctypes.data,
+        fold_lib.xhe_tx_fold_group(
+            n_g, h_arr.ctypes.data, blob, offs.ctypes.data,
+            out_blob.ctypes.data, out_offs.ctypes.data,
             g_bufs[ci].ctypes.data, h_bufs[ci].ctypes.data,
             b_bufs[ci].ctypes.data, bb_bufs[ci].ctypes.data,
+            rcs[glo : glo + n_g].ctypes.data,
         )
+
+    group_pending: list[int] = []
+
+    def flush_group() -> None:
+        if not group_pending:
+            return
+        glo = group_pending[0]
+        n_g = len(group_pending)
+        h_arr = np.fromiter(
+            (folds[j].transcript.native_handle() for j in group_pending),
+            dtype=np.uint64, count=n_g,
+        )
+        lens = np.fromiter(
+            (len(scripts[j]) for j in group_pending), dtype=np.uint64, count=n_g
+        )
+        offs = np.zeros(n_g + 1, dtype=np.uint64)
+        np.cumsum(lens, out=offs[1:])
+        blob = b"".join(scripts[j] for j in group_pending)
+        rows = np.fromiter(
+            (folds[j].n_out for j in group_pending), dtype=np.uint64, count=n_g
+        )
+        out_offs = np.zeros(n_g + 1, dtype=np.uint64)
+        np.cumsum(rows, out=out_offs[1:])
+        out_blob = np.empty((int(out_offs[-1]), 32), dtype=np.uint8)
+        for k, j in enumerate(group_pending):
+            outs[j] = out_blob[int(out_offs[k]) : int(out_offs[k + 1])]
+        worker.submit((n_g, glo, h_arr, blob, offs, out_blob, out_offs))
+        group_pending.clear()
 
     chunk_states = []
     n_sigma_lanes = 0
     n_range_lanes = 0
     for lo in range(0, n_txs, chunk_txs):
         hi = min(lo + chunk_txs, n_txs)
-        worker.begin(run_one)
+        worker.begin(run_group)
         plan_lo = len(collector.plan)
         g_lo, h_lo = len(collector.plan_g), len(collector.plan_h)
         sig_lo = len(sig_entries)
@@ -537,11 +579,13 @@ def _fused_deferred(
                         folds[i], view.value_commitments, view.n, BP_GENS, rho, c
                     )
                     dyn_info.append((i, base, cnt))
-                    chunk_range_points.extend(pts)
-                    outs[i] = np.empty((max(folds[i].n_out, 1), 32), dtype=np.uint8)
+                    chunk_range_points.extend([row_get(p, p) for p in pts])
                     scripts[i] = folds[i].script()
-                    worker.submit(i)
+                    group_pending.append(i)
+                    if len(group_pending) >= fold_group:
+                        flush_group()
                 collector.deferred = None
+                flush_group()
         except BaseException:
             # settle in-flight fold jobs before propagating, so a later
             # verify_batch's worker.begin() never races them
