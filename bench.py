@@ -59,12 +59,14 @@ def main():
 
     log(f"bench: {n_txs} txs x {n_transfers} transfers, backend={backend}")
 
+    from xelis_he_tpu import build_batch
+
     t0 = time.time()
     ledger = Ledger()
     senders = []
     receiver = Account([(NATIVE_ASSET, 0)])
     pk_receiver = ledger.add_account(receiver)
-    txs = []
+    jobs = []
     for i in range(n_txs):
         sender = Account([(NATIVE_ASSET, 1_000_000)])
         pk_s = ledger.add_account(sender)
@@ -83,14 +85,11 @@ def main():
             fee=1,
             nonce=0,
         )
-        txs.append(
-            builder.build(
-                GenerationBalance({NATIVE_ASSET: 1_000_000}, sender), sender.keypair
-            )
+        jobs.append(
+            (builder, GenerationBalance({NATIVE_ASSET: 1_000_000}, sender), sender.keypair)
         )
-        if (i + 1) % 25 == 0:
-            log(f"  built {i + 1}/{n_txs} txs ({time.time() - t0:.1f}s)")
-    log(f"setup: {time.time() - t0:.1f}s")
+    txs = build_batch(jobs)  # thread-parallel across host cores
+    log(f"setup: {time.time() - t0:.1f}s ({(time.time() - t0) * 1000 / n_txs:.1f} ms/tx built)")
 
     # warmup (compiles device kernels)
     t0 = time.time()

@@ -70,6 +70,7 @@ from .tx.builder import (
     TransactionUnsigned,
     TransferBuilder,
     TransfersBuilder,
+    build_batch,
 )
 from .tx.verify import (
     BlockchainVerificationState,

@@ -21,7 +21,43 @@ from ..pyref.ristretto import RistrettoPoint, multiscalar_mul
 from ..transcript import ProtocolTranscript
 from .util import inner_product
 
+try:  # native IPP prover session (one FFI call per round)
+    from ..hashcore.prover_native import lib as _prover_lib
+except Exception:  # pragma: no cover - native build unavailable
+    _prover_lib = None
+
 L = scalars.L
+
+# packed-generator blobs keyed by id(list head): the G/H vectors passed by
+# prove_multiple are the BulletproofGens shared lists, so packing happens
+# once per (n, m) per process instead of once per transaction
+_packed_cache: dict = {}
+# per-basis C++ 8-bit Straus table registry ids (built once per process)
+_gens_id_cache: dict = {}
+
+
+def _packed_points(points: list[RistrettoPoint]) -> bytes:
+    from ..pyref.ristretto import _pack_pt
+
+    key = (id(points[0]), id(points[-1]), len(points))
+    blob = _packed_cache.get(key)
+    if blob is None:
+        blob = b"".join(_pack_pt(p) for p in points)
+        if len(_packed_cache) > 64:  # bound growth across odd shapes
+            _packed_cache.clear()
+        _packed_cache[key] = blob
+    return blob
+
+
+def _gens_registry_id(n: int, gp: bytes, hp: bytes) -> int:
+    """Register (once) the 8-bit windowed tables for this generator basis;
+    -1 falls back to the in-session Pippenger (large bases, full registry)."""
+    key = (id(gp), id(hp), n)
+    gid = _gens_id_cache.get(key)
+    if gid is None:
+        gid = _prover_lib.xhe_ipp_gens_register(n, gp, hp)
+        _gens_id_cache[key] = gid
+    return gid
 
 
 class InnerProductProof:
@@ -54,6 +90,60 @@ class InnerProductProof:
         transcript.innerproduct_domain_separator(n)
 
         lg_n = n.bit_length() - 1
+
+        if _prover_lib is not None and n >= 2:
+            # native session: generators/coefficients stay resident in C++,
+            # Python relays only L/R bytes and challenges (byte-exact)
+            import ctypes
+
+            import numpy as np
+
+            from .. import scalarops
+            from ..pyref.ristretto import _pack_pt
+
+            gp = _packed_points(G_vec)
+            hp = _packed_points(H_vec)
+            handle = _prover_lib.xhe_ipp_new(
+                n,
+                _gens_registry_id(n, gp, hp),
+                gp,
+                hp,
+                _pack_pt(Q),
+                scalarops.ints_to_array([x % L for x in G_factors]).tobytes(),
+                scalarops.ints_to_array([x % L for x in H_factors]).tobytes(),
+                scalarops.ints_to_array([x % L for x in a_vec]).tobytes(),
+                scalarops.ints_to_array([x % L for x in b_vec]).tobytes(),
+            )
+            if handle:
+                try:
+                    L_out = []
+                    R_out = []
+                    Lb = ctypes.create_string_buffer(32)
+                    Rb = ctypes.create_string_buffer(32)
+                    u_bytes = None
+                    for _ in range(lg_n):
+                        rc = _prover_lib.xhe_ipp_round(handle, u_bytes, Lb, Rb)
+                        if rc != 0:
+                            raise ProofVerificationError("format", "ipp round")
+                        L_pt, R_pt = bytes(Lb.raw), bytes(Rb.raw)
+                        transcript.append_point(b"L", L_pt)
+                        transcript.append_point(b"R", R_pt)
+                        L_out.append(L_pt)
+                        R_out.append(R_pt)
+                        u = transcript.challenge_scalar(b"u")
+                        u_bytes = scalarops.int_to_bytes32(u)
+                    ab = ctypes.create_string_buffer(64)
+                    rc = _prover_lib.xhe_ipp_final(
+                        handle, u_bytes, ab, ctypes.byref(ab, 32)
+                    )
+                    if rc != 0:
+                        raise ProofVerificationError("format", "ipp final")
+                    a0 = int.from_bytes(ab.raw[:32], "little")
+                    b0 = int.from_bytes(ab.raw[32:64], "little")
+                    return InnerProductProof(L_out, R_out, a0, b0)
+                finally:
+                    _prover_lib.xhe_ipp_free(handle)
+
         a = [x % L for x in a_vec]
         b = [x % L for x in b_vec]
         # Fold coefficients of the current (logical) G'/H' vectors over the

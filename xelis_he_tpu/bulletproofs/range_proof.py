@@ -93,21 +93,63 @@ class RangeProof:
         # Bit commitments: A = <a_L,G> + <a_R,H> + a_blinding*B_blinding
         a_L = [(values[i // n] >> (i % n)) & 1 for i in range(nm)]
         a_blinding = scalars.random_scalar()
-        A_sc = [a_blinding]
-        A_pt = [B_blinding]
-        for i in range(nm):
-            if a_L[i]:
-                A_sc.append(1)
-                A_pt.append(G_all[i])
-            else:
-                A_sc.append(L - 1)  # a_R[i] = -1
-                A_pt.append(H_all[i])
-        A = msm(A_sc, A_pt).compress()
-
         s_blinding = scalars.random_scalar()
         s_L = [scalars.random_scalar() for _ in range(nm)]
         s_R = [scalars.random_scalar() for _ in range(nm)]
-        S = msm([s_blinding] + s_L + s_R, [B_blinding] + G_all + H_all).compress()
+
+        from .inner_product import _gens_registry_id, _packed_points, _prover_lib
+
+        gens_id = -1
+        if _prover_lib is not None:
+            gens_id = _gens_registry_id(
+                nm, _packed_points(G_all), _packed_points(H_all)
+            )
+        if gens_id >= 0:
+            # A/S over the registered basis via the 8-bit table MSM
+            import numpy as np
+
+            from .. import scalarops
+            from ..pyref.ristretto import _pack_pt
+
+            bb_packed = _pack_pt(B_blinding)
+            idx_a = np.fromiter(
+                (i if a_L[i] else nm + i for i in range(nm)),
+                dtype=np.uint32, count=nm,
+            )
+            sc_a = scalarops.ints_to_array(
+                [1 if a_L[i] else L - 1 for i in range(nm)]
+            )
+            out = np.empty(32, dtype=np.uint8)
+            rc = _prover_lib.xhe_gens_msm(
+                gens_id, idx_a.ctypes.data, sc_a.ctypes.data, nm,
+                scalarops.int_to_bytes32(a_blinding), bb_packed, 1,
+                out.ctypes.data,
+            )
+            if rc != 0:
+                raise ProofVerificationError("format", "gens msm")
+            A = out.tobytes()
+            idx_s = np.arange(2 * nm, dtype=np.uint32)
+            sc_s = scalarops.ints_to_array(s_L + s_R)
+            rc = _prover_lib.xhe_gens_msm(
+                gens_id, idx_s.ctypes.data, sc_s.ctypes.data, 2 * nm,
+                scalarops.int_to_bytes32(s_blinding), bb_packed, 1,
+                out.ctypes.data,
+            )
+            if rc != 0:
+                raise ProofVerificationError("format", "gens msm")
+            S = out.tobytes()
+        else:
+            A_sc = [a_blinding]
+            A_pt = [B_blinding]
+            for i in range(nm):
+                if a_L[i]:
+                    A_sc.append(1)
+                    A_pt.append(G_all[i])
+                else:
+                    A_sc.append(L - 1)  # a_R[i] = -1
+                    A_pt.append(H_all[i])
+            A = msm(A_sc, A_pt).compress()
+            S = msm([s_blinding] + s_L + s_R, [B_blinding] + G_all + H_all).compress()
 
         transcript.append_point(b"A", A)
         transcript.append_point(b"S", S)

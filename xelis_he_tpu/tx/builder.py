@@ -382,6 +382,31 @@ class TransactionBuilder:
         return self.build_unsigned(state, source_keypair, msm=msm).sign(source_keypair)
 
 
+def build_batch(jobs, n_threads: int | None = None) -> list[Transaction]:
+    """Thread-parallel block building: ``jobs`` is a list of
+    (TransactionBuilder, state, keypair) tuples; returns the built
+    transactions in order.
+
+    The reference prover is single-threaded per tx and its bench scales by
+    OS threads (benches/tx.rs:252-343); here the per-tx prover hot path is
+    GIL-releasing C++ (IPP session + table MSMs), so independent builds
+    scale across host cores inside one process.  The first job runs alone
+    to warm the process-global generator-table registry."""
+    import concurrent.futures
+    import os
+
+    if n_threads is None:
+        n_threads = max(1, int(os.environ.get("XELIS_BUILD_THREADS",
+                                              os.cpu_count() or 2)))
+    jobs = list(jobs)
+    if n_threads <= 1 or len(jobs) < 2:
+        return [b.build(s, k) for b, s, k in jobs]
+    first = jobs[0][0].build(jobs[0][1], jobs[0][2])
+    with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
+        rest = list(ex.map(lambda j: j[0].build(j[1], j[2]), jobs[1:]))
+    return [first, *rest]
+
+
 import threading as _threading
 
 _transcript_tls = _threading.local()
