@@ -91,10 +91,12 @@ def main():
     txs = build_batch(jobs)  # thread-parallel across host cores
     log(f"setup: {time.time() - t0:.1f}s ({(time.time() - t0) * 1000 / n_txs:.1f} ms/tx built)")
 
-    # warmup (compiles device kernels)
+    # warmup (compiles device kernels; scripts/prewarm.py persists these
+    # to the XLA compile cache so later cold processes mostly trace+load)
     t0 = time.time()
     verify_batch(txs, ledger.clone(), accel=accel)
-    log(f"warmup verify (incl. compiles): {time.time() - t0:.1f}s")
+    warmup_s = time.time() - t0
+    log(f"warmup verify (incl. compiles): {warmup_s:.1f}s")
 
     from xelis_he_tpu.metrics import metrics
 
@@ -118,6 +120,8 @@ def main():
                 "value": round(ms_per_tx, 4),
                 "unit": "ms/tx",
                 "vs_baseline": round(BASELINE_MS_PER_TX / ms_per_tx, 3),
+                "warmup_s": round(warmup_s, 1),
+                "n_txs": n_txs,
             }
         )
     )

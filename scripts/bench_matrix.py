@@ -29,13 +29,14 @@ def build_block(n_txs, n_transfers):
         TransactionBuilder,
         TransferBuilder,
         TransfersBuilder,
+        build_batch,
     )
     from xelis_he_tpu.mock import Account, GenerationBalance, Ledger
 
     ledger = Ledger()
     receiver = Account([(NATIVE_ASSET, 0)])
     pk_r = ledger.add_account(receiver)
-    txs = []
+    jobs = []
     t0 = time.perf_counter()
     for _ in range(n_txs):
         sender = Account([(NATIVE_ASSET, 10_000_000)])
@@ -52,11 +53,10 @@ def build_block(n_txs, n_transfers):
             fee=1,
             nonce=0,
         )
-        txs.append(
-            builder.build(
-                GenerationBalance({NATIVE_ASSET: 10_000_000}, sender), sender.keypair
-            )
+        jobs.append(
+            (builder, GenerationBalance({NATIVE_ASSET: 10_000_000}, sender), sender.keypair)
         )
+    txs = build_batch(jobs)
     build_s = time.perf_counter() - t0
     return txs, ledger, build_s
 
@@ -64,7 +64,8 @@ def build_block(n_txs, n_transfers):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default=os.environ.get("XELIS_BENCH_BACKEND", "jax"))
-    ap.add_argument("--full", action="store_true", help="reference's 16x255 stress")
+    ap.add_argument("--full", action="store_true", help="(default now) 16x255 stress")
+    ap.add_argument("--small-agg", action="store_true", help="16x64 aggregation instead of 16x255")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
@@ -102,11 +103,14 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    # B. batch sizes x 1 transfer (XELIS_MATRIX_BATCHES to override; the
-    # reference's criterion matrix runs up to 2500, benches/tx.rs:227-229)
+    # B. batch sizes x 1 transfer (XELIS_MATRIX_BATCHES to override;
+    # superset of the reference's criterion matrix incl. its 2500-tx
+    # stress and the README's 100-tx baseline config, benches/tx.rs:227-229)
     batches = tuple(
         int(x)
-        for x in os.environ.get("XELIS_MATRIX_BATCHES", "1,4,16,64,256").split(",")
+        for x in os.environ.get(
+            "XELIS_MATRIX_BATCHES", "1,4,16,64,100,256,1000,2500"
+        ).split(",")
     )
     for n in batches if "B" in sections else ():
         txs, ledger, build_s = build_block(n, 1)
@@ -120,20 +124,41 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    # C. aggregation stress
-    if "C" not in sections:
-        return
-    m, t = (16, 255) if args.full else (16, 64)
-    txs, ledger, build_s = build_block(m, t)
-    best = timed_verify(txs, ledger)
-    rec = {
-        "config": f"aggregation_{m}x{t}",
-        "build_ms_per_tx": round(build_s * 1000 / m, 1),
-        "verify_ms_per_tx": round(best * 1000 / m, 3),
-        "verify_ms_total": round(best * 1000, 1),
-    }
-    results.append(rec)
-    print(json.dumps(rec), flush=True)
+    # C. aggregation stress (reference's 16 txs x 255 transfers = 256
+    # aggregated commitments incl. the source commitment, benches/tx.rs:231)
+    if "C" in sections:
+        m, t = (16, 64) if args.small_agg else (16, 255)
+        txs, ledger, build_s = build_block(m, t)
+        best = timed_verify(txs, ledger)
+        rec = {
+            "config": f"aggregation_{m}x{t}",
+            "build_ms_per_tx": round(build_s * 1000 / m, 1),
+            "verify_ms_per_tx": round(best * 1000 / m, 3),
+            "verify_ms_total": round(best * 1000, 1),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # D. fold-thread scaling (analog of the reference's 8-worker
+    # shard-nothing bench, benches/tx.rs:252-343: the host-side fold work
+    # parallelizes across cores; this container exposes 2)
+    if "D" in sections:
+        n = int(os.environ.get("XELIS_MATRIX_FOLD_TXS", "1000"))
+        txs, ledger, _ = build_block(n, 1)
+        from xelis_he_tpu.tx import verify as _v
+
+        for threads in (1, 2, 4):
+            os.environ["XELIS_FOLD_THREADS"] = str(threads)
+            _v._fold_tls = type(_v._fold_tls)()  # drop per-thread pools
+            best = timed_verify(txs, ledger)
+            rec = {
+                "config": f"fold_threads_{threads}_{n}x1",
+                "verify_ms_per_tx": round(best * 1000 / n, 4),
+                "verify_ms_total": round(best * 1000, 2),
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+        os.environ.pop("XELIS_FOLD_THREADS", None)
 
 
 if __name__ == "__main__":

@@ -50,6 +50,28 @@ def test_h_generator_frozen():
     assert H.compress().hex() == VECTORS["h_compressed"]
 
 
+def test_h_matches_dalek_b_blinding_published_constant():
+    """EXTERNAL vector: dalek bulletproofs' `PedersenGens::default()`
+    documents B_blinding as the SHA3-512 hash-to-group of the compressed
+    Ristretto basepoint, with compressed value
+    8c9240b456a9e6dc65c377a1048d745f94a08cdb7f44cbcd7b46f34048871134
+    (dalek-cryptography/bulletproofs src/generators.rs doc constant; the
+    reference's H is the same construction, elgamal.rs:16-24).  This pins
+    our from_uniform_bytes (Elligator2) + SHA3-512 derivation to the
+    upstream crate, not merely to yesterday's self."""
+    from xelis_he_tpu.bulletproofs.generators import PC_GENS
+    from xelis_he_tpu.elgamal import H
+
+    published = "8c9240b456a9e6dc65c377a1048d745f94a08cdb7f44cbcd7b46f34048871134"
+    assert H.compress().hex() == published
+    assert PC_GENS.B_blinding.compress().hex() == published
+    # B is the Ristretto basepoint (RFC 9496 / dalek RISTRETTO_BASEPOINT_COMPRESSED)
+    assert (
+        PC_GENS.B.compress().hex()
+        == "e2f2ae0a6abc4e71a884a961c500515f58e30b6aa582dd8db6a65945e08d2d76"
+    )
+
+
 def test_bp_generator_chains_frozen():
     from xelis_he_tpu.bulletproofs.generators import BulletproofGens
 

@@ -160,11 +160,22 @@ class ECDLPTables:
         return np.where(hit, self.idx[pos].astype(np.int64), -1)
 
 
+_PAR_DECODE_GIANT_THRESHOLD = 1 << 12
+
+
 def decode(tables: ECDLPTables, point: RistrettoPoint, args: ECDLPArguments | None = None):
-    """BSGS decode on host.  Returns the integer m with m*G == point within
-    [range_min, range_max), or None."""
+    """BSGS decode.  Returns the integer m with m*G == point within
+    [range_min, range_max), or None.
+
+    Above ~2^12 giant steps the sequential host walk is not viable at
+    reference ranges (elgamal.rs:77-91 decodes 2^48 spans); such calls
+    delegate to :func:`par_decode`, which runs the giant steps as batched
+    device rounds."""
     args = args or ECDLPArguments()
     baby_count = 1 << tables.l1
+    span = args.range_max - args.range_min
+    if (span + baby_count - 1) // baby_count > _PAR_DECODE_GIANT_THRESHOLD:
+        return par_decode(tables, point, args)
     # normalize to a non-negative search: M' = point - range_min*G
     target = point - mul_base(args.range_min)
     span = args.range_max - args.range_min
@@ -236,9 +247,16 @@ def par_decode(
     big_step = accel._to_device_points([-mul_base(baby_count * batch)])
     cur = accel._to_device_points([target])
     done = 0
+    # two-deep pipeline: dispatch round k+1 before pulling round k, so the
+    # fixed host<->device round trip overlaps the table lookups (the decode
+    # is RTT-bound on tunneled backends, not compute-bound)
+    pending, cur = round_jit(cur, offsets, big_step)
     while done < n_giant:
-        encs_dev, cur = round_jit(cur, offsets, big_step)
-        encs = np.asarray(encs_dev)
+        if done + batch < n_giant:
+            nxt, cur = round_jit(cur, offsets, big_step)
+        else:
+            nxt = None
+        encs = np.asarray(pending)
         cands = tables.lookup_many(encs)
         for j in np.nonzero(cands >= 0)[0]:
             if done + int(j) >= n_giant:
@@ -249,6 +267,7 @@ def par_decode(
             if m < args.range_max and mul_base(m) == point:
                 return m
         done += batch
+        pending = nxt
         if args.progress_fn is not None:
             args.progress_fn(min(1.0, done / n_giant))
     return None

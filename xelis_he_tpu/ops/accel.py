@@ -151,12 +151,29 @@ class Accelerator:
 
     def _lanes_fn(self):
         """Per-lane s_i*P_i: the windowed Pallas kernel on TPU (4-bit signed
-        digits, ~1.6x the binary kernel), jnp scan elsewhere."""
+        digits, ~1.6x the binary kernel), jnp scan elsewhere.  With a mesh,
+        the Pallas kernel runs shard_mapped over the lane axis (per-lane
+        outputs all_gathered; reductions unchanged)."""
         if self.use_pallas:
+            if self.mesh is not None:
+                from .pallas_msm import make_sharded_lanes_fn
+
+                fn = getattr(self, "_sharded_lanes", None)
+                if fn is None:
+                    fn = self._sharded_lanes = make_sharded_lanes_fn(self.mesh)
+                return fn
             from .pallas_msm import msm_windowed_lanes_pallas
 
             return msm_windowed_lanes_pallas
         return self.engine.msm_daa_lanes
+
+    def _pallas_lane_granules(self):
+        """(group granule, signature granule): each lane GROUP must split
+        into TILE-aligned shards across the mesh."""
+        from .pallas_msm import TILE
+
+        d = self.mesh.devices.size if self.mesh is not None else 1
+        return d * TILE, d * TILE // 2
 
     def _bits_for(self, scalars):
         """Scalar digit/bit tensor in the layout the lanes fn expects."""
@@ -789,9 +806,7 @@ class Accelerator:
         sigma_sc, sigma_pts = sigma
         range_sc, range_pts = range_
         if self.use_pallas:
-            from .pallas_msm import TILE
-
-            g1, g2 = TILE, TILE // 2
+            g1, g2 = self._pallas_lane_granules()
         else:
             # small granule keeps eager-numpy/CPU work proportional for tiny
             # blocks; still divides any mesh size up to 64
@@ -964,7 +979,7 @@ class Accelerator:
     def _final_shardings(self, n_chunks: int, n_racc: int):
         """Partials/r-accs replicated (tiny), shared idx + payload
         lane-sharded like the phase jits."""
-        if self.mesh is None or self.backend != "jax" or self.use_pallas:
+        if self.mesh is None or self.backend != "jax":
             return None
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -990,9 +1005,7 @@ class Accelerator:
         sigma_sc, sigma_pts = shared_sigma
         range_sc, range_pts = shared_range
         if self.use_pallas:
-            from .pallas_msm import TILE
-
-            g1 = TILE
+            g1, _g2 = self._pallas_lane_granules()
         else:
             g1 = 64
         ns_s = self._round_up(len(sigma_sc), g1)
@@ -1099,7 +1112,7 @@ class Accelerator:
     def _phase_shardings(self, n_args: int):
         """in_shardings for the phase jits: lane-sharded idx + scalar
         payload, replicated point rows.  None (auto) without a mesh."""
-        if self.mesh is None or self.backend != "jax" or self.use_pallas:
+        if self.mesh is None or self.backend != "jax":
             return None
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1122,10 +1135,9 @@ class Accelerator:
 
         sigma_sc, sigma_pts = sigma
         if self.use_pallas:
-            from .pallas_msm import TILE
-
-            ns = self._round_up(len(sigma_sc), TILE)
-            nk = self._round_up(len(sig_entries), TILE // 2) if sig_entries else 0
+            g1, g2 = self._pallas_lane_granules()
+            ns = self._round_up(len(sigma_sc), g1)
+            nk = self._round_up(len(sig_entries), g2) if sig_entries else 0
         else:
             ns = self._round_up(len(sigma_sc))
             nk = self._round_up(len(sig_entries), 64) if sig_entries else 0
@@ -1208,9 +1220,7 @@ class Accelerator:
         ns, nk = state["ns"], state["nk"]
         m_block = state["m_block"]
         if self.use_pallas:
-            from .pallas_msm import TILE
-
-            nr = self._round_up(len(range_sc), TILE)
+            nr = self._round_up(len(range_sc), self._pallas_lane_granules()[0])
         else:
             nr = self._round_up(len(range_sc))
 
@@ -1384,12 +1394,12 @@ class Accelerator:
         range_sc, range_pts = range_
 
         if self.use_pallas:
-            # total lane count must divide into TILE-lane kernel programs
-            from .pallas_msm import TILE
-
-            ns = self._round_up(len(sigma_sc), TILE)
-            nr = self._round_up(len(range_sc), TILE)
-            nk = self._round_up(len(sig_entries), TILE // 2) if sig_entries else 0
+            # every lane group must divide into TILE-lane kernel programs
+            # on each mesh shard
+            g1, g2 = self._pallas_lane_granules()
+            ns = self._round_up(len(sigma_sc), g1)
+            nr = self._round_up(len(range_sc), g1)
+            nk = self._round_up(len(sig_entries), g2) if sig_entries else 0
         else:
             ns = self._round_up(len(sigma_sc))
             nr = self._round_up(len(range_sc))

@@ -24,8 +24,17 @@ Field element layout here: (18, T) uint32, eighteen 15-bit relaxed limbs
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as _np
+
+
+def _want_interpret(flag: bool) -> bool:
+    """Interpreter-mode override for non-TPU validation runs (the sharded
+    lanes equivalence tests execute these kernels on the emulated CPU
+    mesh, where Mosaic can't compile)."""
+    return flag or os.environ.get("XELIS_PALLAS_INTERPRET") == "1"
+
 
 NLIMBS = 18
 LIMB_BITS = 15
@@ -504,7 +513,7 @@ def tile_sums_pallas(points, interpret: bool = False):
     stacked = jnp.concatenate([jnp.transpose(c, (1, 0)) for c in points], axis=0)
     consts = jnp.broadcast_to(jnp.asarray(_consts_array()), (CONSTS_ROWS, tile))
     consts = jnp.asarray(consts)
-    out = _tile_reduce_call(n, interpret)(consts, stacked)
+    out = _tile_reduce_call(n, _want_interpret(interpret))(consts, stacked)
     out = out[:, ::tile]  # lane 0 of each tile
     return tuple(
         jnp.transpose(out[c * NLIMBS : (c + 1) * NLIMBS, :], (1, 0)) for c in range(4)
@@ -705,7 +714,7 @@ def msm_daa_lanes_pallas(points, bits_packed, interpret: bool = False):
     tile = min(TILE, n)
     consts = jnp.broadcast_to(jnp.asarray(_consts_array()), (CONSTS_ROWS, tile))
     consts = jnp.asarray(consts)  # materialize: in-kernel slices must be real
-    out = _daa_call(n, interpret)(consts, bits_packed, stacked)
+    out = _daa_call(n, _want_interpret(interpret))(consts, bits_packed, stacked)
     return tuple(
         jnp.transpose(out[c * NLIMBS : (c + 1) * NLIMBS, :], (1, 0)) for c in range(4)
     )
@@ -750,7 +759,7 @@ def compress_pallas(points, interpret: bool = False):
     consts = jnp.asarray(
         jnp.broadcast_to(jnp.asarray(_consts_array()), (CONSTS_ROWS, tile))
     )
-    s = _compress_call(n, interpret)(consts, stacked)  # (18, N) canonical
+    s = _compress_call(n, _want_interpret(interpret))(consts, stacked)  # (18, N) canonical
     return _limbs_to_bytes(jnp.transpose(s, (1, 0)), jnp)
 
 
@@ -803,7 +812,7 @@ def decompress_pallas(data, interpret: bool = False):
     consts = jnp.asarray(
         jnp.broadcast_to(jnp.asarray(_consts_array()), (CONSTS_ROWS, tile))
     )
-    pts, valid = _decompress_call(n, interpret)(consts, jnp.transpose(s, (1, 0)))
+    pts, valid = _decompress_call(n, _want_interpret(interpret))(consts, jnp.transpose(s, (1, 0)))
     points = tuple(
         jnp.transpose(pts[c * NLIMBS : (c + 1) * NLIMBS, :], (1, 0)) for c in range(4)
     )
@@ -990,7 +999,45 @@ def msm_windowed_lanes_pallas(points, digits, interpret: bool = False):
     consts = jnp.asarray(
         jnp.broadcast_to(jnp.asarray(_consts_array()), (CONSTS_ROWS, tile))
     )
-    out = _windowed_call(n, interpret)(consts, digits, stacked)
+    out = _windowed_call(n, _want_interpret(interpret))(consts, digits, stacked)
     return tuple(
         jnp.transpose(out[c * NLIMBS : (c + 1) * NLIMBS, :], (1, 0)) for c in range(4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-chip: lanes shard_mapped over a 1-D mesh (SURVEY.md §2.4 — MSM
+# sharding is this domain's tensor parallelism)
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_lanes_fn(mesh, interpret: bool = False):
+    """Windowed lanes kernel shard_mapped over ``mesh``'s first axis.
+
+    Each device runs the Pallas kernel on its contiguous lane shard (the
+    per-lane scalar-muls are ~99% of the device work); the tiny per-lane
+    accumulator outputs are all_gathered over ICI so every chip holds the
+    full (N, 18) result and the downstream tile-sum/tree reductions are
+    IDENTICAL to the single-chip path.  Callers must pad lane counts so
+    each shard is TILE-aligned (Accelerator uses mesh_size*TILE granules).
+    """
+    import jax
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def _local(points, digits):
+        acc = msm_windowed_lanes_pallas(points, digits, interpret=interpret)
+        return tuple(lax.all_gather(c, axis, axis=0, tiled=True) for c in acc)
+
+    return jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(
+            (P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
+            P(None, axis),
+        ),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
     )
