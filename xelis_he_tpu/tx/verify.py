@@ -324,14 +324,31 @@ class _FoldWorker:
     ``_get_fold_worker``), so concurrent ``verify_batch`` calls are safe.
     """
 
+    # process-wide budget: concurrent verify_batch callers each get a pool,
+    # but total fold worker threads stay bounded (a 16-thread caller on a
+    # 64-core host must not mint ~1000 daemon threads)
+    _budget_lock = None
+    _budget_left = None
+
     def __init__(self, n_threads: int | None = None):
         import os
         import queue
         import threading
 
+        cls = type(self)
+        if cls._budget_lock is None:
+            cls._budget_lock = threading.Lock()
+            cls._budget_left = int(
+                os.environ.get(
+                    "XELIS_FOLD_THREADS_TOTAL", 2 * (os.cpu_count() or 2)
+                )
+            )
         if n_threads is None:
             n_threads = max(1, (os.cpu_count() or 2) - 1)
             n_threads = int(os.environ.get("XELIS_FOLD_THREADS", n_threads))
+        with cls._budget_lock:
+            n_threads = max(1, min(n_threads, cls._budget_left))
+            cls._budget_left -= n_threads
         self.n_threads = max(1, n_threads)
         # one scalar-accumulator slot per worker + one for the main thread
         self.n_slots = self.n_threads + 1
@@ -428,6 +445,7 @@ class _DevicePump:
         import queue
 
         self._q = queue.SimpleQueue()
+        self.first_error: Exception | None = None
         self._thread = _threading.Thread(
             target=self._loop, daemon=True, name="xelis-pump"
         )
@@ -440,11 +458,19 @@ class _DevicePump:
             obj = self._q.get()
             try:
                 jax.block_until_ready(obj)
-            except Exception:  # surface errors at the block's single sync
-                pass
+            except Exception as e:
+                # the block's single sync will surface the failure; stash
+                # the FIRST dispatch error so it isn't lost if the sync's
+                # context is stripped (VERDICT r2)
+                if self.first_error is None:
+                    self.first_error = e
 
     def submit(self, obj) -> None:
         self._q.put(obj)
+
+    def take_error(self) -> Exception | None:
+        e, self.first_error = self.first_error, None
+        return e
 
 
 def _get_device_pump() -> _DevicePump:
@@ -662,9 +688,19 @@ def _fused_deferred(
         )
 
     with span("verify_batch.device_checks"):
-        return accel.fused_chunks_finish(
-            chunk_states, shared_sigma, shared_range, sig_entries
-        )
+        try:
+            return accel.fused_chunks_finish(
+                chunk_states, shared_sigma, shared_range, sig_entries
+            )
+        except Exception as e:
+            # a failed chunk dispatch surfaces here at the block's single
+            # sync; chain the pump's stashed first error for context
+            pump_err = (
+                _get_device_pump().take_error() if accel.backend == "jax" else None
+            )
+            if pump_err is not None:
+                raise e from pump_err
+            raise
 
 
 def verify_batch(
