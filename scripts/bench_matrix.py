@@ -91,8 +91,11 @@ def main():
 
     sections = os.environ.get("XELIS_MATRIX_SECTIONS", "A,B,C").split(",")
 
-    # A. single tx, n transfers (create + verify)
+    # A. single tx, n transfers (create + verify); one throwaway build
+    # first so the timed number is steady-state (generator chains, packed
+    # blobs, and C++ Straus tables are one-time per-process artifacts)
     for n in (1, 2, 4, 8, 16) if "A" in sections else ():
+        build_block(1, n)
         txs, ledger, build_s = build_block(1, n)
         best = timed_verify(txs, ledger)
         rec = {

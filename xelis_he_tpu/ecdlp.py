@@ -201,7 +201,7 @@ def par_decode(
     point: RistrettoPoint,
     args: ECDLPArguments | None = None,
     accel=None,
-    batch: int = 1024,
+    batch: int = 8192,
 ):
     """Giant steps as batched device kernels (parity with ecdlp::par_decode).
 
