@@ -86,8 +86,15 @@ class Accelerator:
                     use_pallas = env not in ("0", "false", "")
                 else:
                     # the Mosaic kernel targets real TPUs; CPU tests keep the
-                    # jnp engine (interpret mode is too slow for real sizes)
-                    use_pallas = jax.default_backend() == "tpu"
+                    # jnp engine (interpret mode is too slow for real sizes).
+                    # With a mesh, the engine follows the MESH's devices —
+                    # an emulated CPU mesh must not pick the TPU kernel just
+                    # because a TPU is the process default backend.
+                    if mesh is not None:
+                        plat = next(iter(mesh.devices.flat)).platform
+                    else:
+                        plat = jax.default_backend()
+                    use_pallas = plat == "tpu"
             self.use_pallas = bool(use_pallas)
             self.curve: Curve = jax_curve()
             self.engine = MsmEngine(self.curve, use_jax=True)
