@@ -90,9 +90,42 @@ void pt_msm_core(const u64 (*sc)[4], const pt *const *pts, size_t n, pt &o) {
 // per lane per window — ~2x fewer point ops than windowed Pippenger at the
 // n=256 shapes the prover hits.  Registered once per process per basis.
 
+// precomputed ("niels"-style) form for read-only table entries: the add
+// skips the per-entry Y±X / 2Z / 2d·T recomputation (9 -> 7 field muls
+// and fewer adds than the unified pt_add)
+struct ptp {
+  fe ypx, ymx, z2, t2d;
+};
+
+inline void pt_precompute(const pt &q, ptp &o) {
+  const Consts &C = consts();
+  fe_add(q.Y, q.X, o.ypx);
+  fe_sub(q.Y, q.X, o.ymx);
+  fe_add(q.Z, q.Z, o.z2);
+  fe_mul(q.T, C.D2, o.t2d);
+}
+
+inline void pt_add_pre(const pt &p, const ptp &q, pt &o) {
+  fe A, B, Cc, Dd, E, F, G, H, t1;
+  fe_sub(p.Y, p.X, t1);
+  fe_mul(t1, q.ymx, A);
+  fe_add(p.Y, p.X, t1);
+  fe_mul(t1, q.ypx, B);
+  fe_mul(p.T, q.t2d, Cc);
+  fe_mul(p.Z, q.z2, Dd);
+  fe_sub(B, A, E);
+  fe_sub(Dd, Cc, F);
+  fe_add(Dd, Cc, G);
+  fe_add(B, A, H);
+  fe_mul(E, F, o.X);
+  fe_mul(G, H, o.Y);
+  fe_mul(F, G, o.Z);
+  fe_mul(E, H, o.T);
+}
+
 struct GensTables {
   size_t n_gens;
-  pt *tab;  // [gen][255]
+  ptp *tab;  // [gen][255], precomputed form
 };
 
 constexpr int MAX_REGISTRIES = 16;
@@ -110,7 +143,7 @@ void straus_msm(const GensTables &gt, const uint32_t *gen_idx,
       u64 digit = (sc[i][w >> 3] >> ((w & 7) * 8)) & 0xFF;
       if (!digit) continue;
       pt t;
-      pt_add(acc, gt.tab[(size_t)gen_idx[i] * 255 + digit - 1], t);
+      pt_add_pre(acc, gt.tab[(size_t)gen_idx[i] * 255 + digit - 1], t);
       acc = t;
     }
   }
@@ -178,13 +211,19 @@ int xhe_ipp_gens_register(size_t n, const uint8_t *Gp, const uint8_t *Hp) {
   if (g_n_registries >= MAX_REGISTRIES || n == 0 || n > 1024) return -1;
   GensTables &gt = g_registries[g_n_registries];
   gt.n_gens = 2 * n;
-  gt.tab = new pt[gt.n_gens * 255];
+  gt.tab = new ptp[gt.n_gens * 255];
   for (size_t g = 0; g < gt.n_gens; ++g) {
-    pt base;
+    pt base, run;
     pt_load((g < n ? Gp + 128 * g : Hp + 128 * (g - n)), base);
-    pt *row = gt.tab + g * 255;
-    row[0] = base;
-    for (int k = 1; k < 255; ++k) pt_add(row[k - 1], base, row[k]);
+    ptp *row = gt.tab + g * 255;
+    run = base;
+    pt_precompute(run, row[0]);
+    for (int k = 1; k < 255; ++k) {
+      pt t;
+      pt_add(run, base, t);
+      run = t;
+      pt_precompute(run, row[k]);
+    }
   }
   return g_n_registries++;
 }

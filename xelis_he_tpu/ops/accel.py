@@ -42,6 +42,30 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _gather_rows(xp, tables, idx):
+    """Gather (n, 4, NLIMBS) point rows addressed by ``idx`` from the
+    logical concatenation of ``tables`` WITHOUT materializing the concat —
+    the block decompression table is O(block encodings) (hundreds of MB at
+    10k txs) and a device concat per chunk dispatch copies all of it.
+    Instead: one clipped gather per table + a select by index range."""
+    tables = [t for t in tables if t.shape[0]]
+    if not tables:
+        return xp.zeros((idx.shape[0], 4, NLIMBS), dtype=xp.uint32)
+    base = 0
+    out = None
+    for t in tables:
+        n_t = t.shape[0]
+        local = xp.clip(idx - base, 0, n_t - 1)
+        rows = t[local]
+        if out is None:
+            out = rows
+        else:
+            here = (idx >= base)[:, None, None]
+            out = xp.where(here, rows, out)
+        base += n_t
+    return out
+
+
 def _tree_reduce_group(curve: Curve, acc, start: int, count: int):
     """Tree-reduce lanes [start, start+count) of a point batch."""
     from .msm import _tree_reduce
@@ -627,8 +651,7 @@ class Accelerator:
                 from .msm import decompose_bits_xp
 
                 bits = decompose_bits_xp(scal, xp)
-            all_rows = xp.concatenate([block_rows, extra_rows], axis=0)
-            rows = all_rows[idx]
+            rows = _gather_rows(xp, (block_rows, extra_rows), idx)
             points = tuple(rows[:, c, :] for c in range(4))
             acc = lanes_fn(points, bits)  # (ns + 2nk, 18) x4
             return xp.stack(acc, axis=1)  # (ns+2nk, 4, 18)
@@ -670,8 +693,7 @@ class Accelerator:
                 if valid.shape[0]
                 else xp.ones((), dtype=xp.uint8)
             )
-            all_rows = xp.concatenate([block_rows, gens_rows, extra_rows], axis=0)
-            rows = all_rows[idx]
+            rows = _gather_rows(xp, (block_rows, gens_rows, extra_rows), idx)
             points = tuple(rows[:, c, :] for c in range(4))
             acc_r = lanes_fn(points, bits)  # range lanes
             acc_s = tuple(acc_a[: ns, c, :] for c in range(4))
@@ -753,8 +775,7 @@ class Accelerator:
                 from .msm import decompose_bits_xp
 
                 bits = decompose_bits_xp(scal, xp)
-            all_rows = xp.concatenate([block_rows, extra_rows], axis=0)
-            rows = all_rows[idx]
+            rows = _gather_rows(xp, (block_rows, extra_rows), idx)
             points = tuple(rows[:, c, :] for c in range(4))
             acc = lanes_fn(points, bits)  # [sigma | range | sig_s | sig_e]
             if use_pallas:
@@ -922,8 +943,7 @@ class Accelerator:
                 if valid.shape[0]
                 else xp.ones((), dtype=xp.uint8)
             )
-            all_rows = xp.concatenate([block_rows, gens_rows, extra_rows], axis=0)
-            rows = all_rows[idx]
+            rows = _gather_rows(xp, (block_rows, gens_rows, extra_rows), idx)
             points = tuple(rows[:, c, :] for c in range(4))
             acc = lanes_fn(points, bits)  # shared lanes [sigma_s | range_s]
             if use_pallas:
@@ -1333,8 +1353,7 @@ class Accelerator:
                 if valid.shape[0]
                 else xp.ones((), dtype=xp.uint8)
             )
-            all_rows = xp.concatenate([block_rows, gens_rows, extra_rows], axis=0)
-            rows = all_rows[idx]  # (N, 4, NLIMBS) one gather
+            rows = _gather_rows(xp, (block_rows, gens_rows, extra_rows), idx)  # (N, 4, NLIMBS) one gather
             points = tuple(rows[:, c, :] for c in range(4))
             acc = lanes_fn(points, bits)  # per-lane accumulators
             if use_pallas:
