@@ -242,7 +242,15 @@ class Accelerator:
 
             if n <= 128:
                 return 128
-            return max(TILE, _next_pow2(n))
+            p2 = max(TILE, _next_pow2(n))
+            # 3/4-pow2 intermediate bucket: caps padding waste at 33%
+            # (the decompression runs over every padded lane; at 10k txs a
+            # pure-pow2 pad costs 1.8x the real work) while keeping the
+            # jit-key space to two buckets per octave
+            p34 = (p2 // 4) * 3
+            if n <= p34 and p34 % TILE == 0:
+                return p34
+            return p2
         return _next_pow2(n)
 
     # -- conversions --------------------------------------------------------
