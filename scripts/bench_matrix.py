@@ -152,6 +152,9 @@ def main():
 
         for threads in (1, 2, 4):
             os.environ["XELIS_FOLD_THREADS"] = str(threads)
+            old = getattr(_v._fold_tls, "worker", None)
+            if old is not None:  # refund the thread budget before dropping
+                old.close()
             _v._fold_tls = type(_v._fold_tls)()  # drop per-thread pools
             best = timed_verify(txs, ledger)
             rec = {

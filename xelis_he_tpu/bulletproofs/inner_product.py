@@ -30,9 +30,20 @@ L = scalars.L
 
 # packed-generator blobs keyed by id(list head): the G/H vectors passed by
 # prove_multiple are the BulletproofGens shared lists, so packing happens
-# once per (n, m) per process instead of once per transaction
+# once per (n, m) per process instead of once per transaction.  Guarded by
+# _gens_lock: build_batch runs create() from a thread pool, and both the
+# check-then-act here and the C++ registry mutation in
+# xhe_ipp_gens_register are racy without it (concurrent registration of
+# the same basis can corrupt the table slots).
+import threading as _ip_threading
+
+_gens_lock = _ip_threading.Lock()
 _packed_cache: dict = {}
-# per-basis C++ 8-bit Straus table registry ids (built once per process)
+# per-basis C++ 8-bit Straus table registry ids (built once per process).
+# Keyed by blob CONTENT (not id()): _packed_cache.clear() may drop the only
+# other reference to a blob, and an id()-keyed entry could then silently
+# alias a later, different basis at the same address.  Content keys also
+# keep the blobs alive for the lifetime of the registry entry.
 _gens_id_cache: dict = {}
 
 
@@ -40,23 +51,26 @@ def _packed_points(points: list[RistrettoPoint]) -> bytes:
     from ..pyref.ristretto import _pack_pt
 
     key = (id(points[0]), id(points[-1]), len(points))
-    blob = _packed_cache.get(key)
+    with _gens_lock:
+        blob = _packed_cache.get(key)
     if blob is None:
         blob = b"".join(_pack_pt(p) for p in points)
-        if len(_packed_cache) > 64:  # bound growth across odd shapes
-            _packed_cache.clear()
-        _packed_cache[key] = blob
+        with _gens_lock:
+            if len(_packed_cache) > 64:  # bound growth across odd shapes
+                _packed_cache.clear()
+            _packed_cache[key] = blob
     return blob
 
 
 def _gens_registry_id(n: int, gp: bytes, hp: bytes) -> int:
     """Register (once) the 8-bit windowed tables for this generator basis;
     -1 falls back to the in-session Pippenger (large bases, full registry)."""
-    key = (id(gp), id(hp), n)
-    gid = _gens_id_cache.get(key)
-    if gid is None:
-        gid = _prover_lib.xhe_ipp_gens_register(n, gp, hp)
-        _gens_id_cache[key] = gid
+    key = (gp, hp)
+    with _gens_lock:
+        gid = _gens_id_cache.get(key)
+        if gid is None:
+            gid = _prover_lib.xhe_ipp_gens_register(n, gp, hp)
+            _gens_id_cache[key] = gid
     return gid
 
 

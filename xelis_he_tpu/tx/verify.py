@@ -375,7 +375,21 @@ class _FoldWorker:
 
     def _loop(self):
         while True:
-            self._exec(self._q.get())
+            job = self._q.get()
+            if job is None:  # close() sentinel
+                return
+            self._exec(job)
+
+    def close(self):
+        """Stop the worker threads and REFUND the process-wide thread
+        budget (a discarded pool must not permanently shrink the budget —
+        long-lived processes recreating pools would degrade to 1 thread)."""
+        cls = type(self)
+        for _ in range(self.n_threads):
+            self._q.put(None)
+        with cls._budget_lock:
+            cls._budget_left += self.n_threads
+        self.n_threads = 0
 
     def _exec(self, i):
         try:
