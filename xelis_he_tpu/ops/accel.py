@@ -66,6 +66,23 @@ def _gather_rows(xp, tables, idx):
     return out
 
 
+class _LazyEncodings:
+    """len()-able stand-in for the block encoding list on the native path
+    (the (n, 32) array is kept; per-encoding bytes objects are never
+    materialized unless a fallback consumer iterates)."""
+
+    __slots__ = ("rows",)
+
+    def __init__(self, rows):
+        self.rows = rows
+
+    def __len__(self):
+        return int(self.rows.shape[0])
+
+    def __iter__(self):
+        return (r.tobytes() for r in self.rows)
+
+
 def _tree_reduce_group(curve: Curve, acc, start: int, count: int):
     """Tree-reduce lanes [start, start+count) of a point batch."""
     from .msm import _tree_reduce
@@ -453,6 +470,37 @@ class Accelerator:
             blk.index = {}
         return blk
 
+    def begin_block_async_rows(self, enc_rows: _np.ndarray) -> None:
+        """begin_block_async for a ready (n, 32) uint8 encoding array (the
+        native collect pass emits one).  Skips the per-encoding join and
+        the eager index dict — the native path resolves lanes to row
+        indices in C++, so the Python-side map is built lazily only if a
+        fallback consumer asks for it."""
+        blk = self._block_state()
+        n = int(enc_rows.shape[0])
+        if n == 0:
+            self.begin_block_async([])
+            return
+        padded = self._lane_granule(n)
+        data = _np.zeros((padded, 32), dtype=_np.uint8)
+        data[:n] = enc_rows
+        if self.backend == "jax":
+            import jax.numpy as jnp
+
+            data = jnp.asarray(data)
+        rows73 = self._decompress_packed_jit(data)
+        blk.rows = rows73[:, : 4 * NLIMBS].reshape(padded, 4, NLIMBS)
+        blk.valid = rows73[:, 4 * NLIMBS]
+        blk.pending = rows73
+        blk.encodings = _LazyEncodings(enc_rows)
+        blk.index = None  # lazy; the native path never consults it
+
+    def block_row_base(self) -> int:
+        """Device row count of the block decompression table (the row index
+        where caller-supplied extra rows begin)."""
+        blk = self._block_state()
+        return int(blk.rows.shape[0]) if blk.rows is not None else 0
+
     def begin_block_async(self, encodings: list[bytes]) -> None:
         """Upload + dispatch the block's fused decompression WITHOUT waiting.
         The device computes while the caller does host-side work (tx
@@ -592,7 +640,7 @@ class Accelerator:
                 return out
             except (TypeError, ValueError):
                 pass
-        block_index = self._block_state().index
+        block_index = self._block_state().index or {}
         w = 0
         for p in pts:
             if type(p) is int:
@@ -920,6 +968,87 @@ class Accelerator:
             "n_sigs": len(sig_entries),
         }
 
+    def chunk_lanes_begin_rows(
+        self, sigma, range_, sigs, extras_rows: _np.ndarray, floors=None
+    ):
+        """chunk_lanes_begin for the NATIVE pre-verify path: lane inputs
+        arrive as ready (scalars, device-row-index) ndarray pairs (emitted
+        by the C++ engine in final lane order) and extras as pre-packed
+        limb rows — no per-lane Python resolution at all.
+
+        sigma/range_: ((n, 32) uint8 scalars, (n,) int32 absolute rows);
+        sigs: (s, e_neg, pk_rows, n_sigs) with s/e_neg (n_sigs, 32) and
+        pk_rows int32; extras_rows: (n_e, 4, NLIMBS) uint32 where row 0 is
+        the identity (lane padding) and row 1 is the Schnorr base H."""
+        from ..metrics import span
+
+        sigma_sc, sigma_rows = sigma
+        range_sc, range_rows = range_
+        sig_s, sig_e, sig_rows, n_sigs = sigs
+        if self.use_pallas:
+            g1, g2 = self._pallas_lane_granules()
+        else:
+            g1, g2 = 64, 64
+        f_ns, f_nr, f_nk, f_ep = floors or (0, 0, 0, 0)
+        ns = self._round_up(max(sigma_sc.shape[0], f_ns), g1)
+        nr = self._round_up(max(range_sc.shape[0], f_nr), g1)
+        nk = self._round_up(max(n_sigs, f_nk), g2) if (n_sigs or f_nk) else 0
+
+        with span("fused_check.prep_chunk"):
+            m_block = self.block_row_base()
+            extra_base = m_block  # extras_rows[0] is the identity
+
+            def _pad_rows(rows, total):
+                out = _np.full(total, extra_base, dtype=_np.int32)
+                out[: rows.shape[0]] = rows
+                return out
+
+            all_scalars = _np.concatenate(
+                [
+                    self._pad_scalar_bytes(sigma_sc, ns),
+                    self._pad_scalar_bytes(range_sc, nr),
+                    self._pad_scalar_bytes(sig_s, nk),
+                    self._pad_scalar_bytes(sig_e, nk),
+                ]
+            )
+            h_rows = _np.full(nk, extra_base, dtype=_np.int32)
+            h_rows[:n_sigs] = extra_base + 1  # extras_rows[1] = H
+            idx_arr = _np.concatenate(
+                [
+                    _pad_rows(sigma_rows, ns),
+                    _pad_rows(range_rows, nr),
+                    h_rows,
+                    _pad_rows(sig_rows, nk),
+                ]
+            )
+            e_pad = max(512, _next_pow2(max(extras_rows.shape[0], f_ep)))
+            extra_pack = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
+            extra_pack[: extras_rows.shape[0]] = extras_rows
+            blk = self._block_state()
+            block_rows = blk.rows
+            if block_rows is None:
+                block_rows = _np.zeros((0, 4, NLIMBS), dtype=_np.uint32)
+            payload = all_scalars
+            if self.backend == "jax":
+                import jax.numpy as jnp
+
+                payload = jnp.asarray(payload)
+                idx_arr = jnp.asarray(idx_arr)
+                extra_pack = jnp.asarray(extra_pack)
+                block_rows = jnp.asarray(block_rows)
+            fn = self._chunk_fn(ns, nr, nk, m_block, e_pad)
+            sigma_acc, rng_acc, r_acc = fn(block_rows, extra_pack, idx_arr, payload)
+        return {
+            "sigma": sigma_acc,
+            "range": rng_acc,
+            "r_acc": r_acc,
+            "ns": ns,
+            "nr": nr,
+            "nk": nk,
+            "e_pad": e_pad,
+            "n_sigs": n_sigs,
+        }
+
     def _final_fn(self, n_chunks: int, nk_tuple: tuple, ns_s: int, nr_s: int,
                   m_block: int, k_gens: int, e_pad: int):
         key = ("final", n_chunks, nk_tuple, ns_s, nr_s, m_block, k_gens, e_pad)
@@ -1030,9 +1159,14 @@ class Accelerator:
             repl, repl, repl, lane, pay, repl,
         )
 
-    def fused_chunks_finish(self, chunk_states, shared_sigma, shared_range, sig_entries):
+    def fused_chunks_finish(self, chunk_states, shared_sigma, shared_range,
+                            sig_entries, sig_hash_fn=None):
         """Dispatch the shared lanes, combine with every chunk's partials on
-        device, and pull the packed result — the block's single host sync."""
+        device, and pull the packed result — the block's single host sync.
+
+        ``sig_hash_fn``: native-path replacement for the per-entry Python
+        SHA3 loop — called once with the concatenated REAL R rows
+        ((total_sigs, 32) uint8, chunk padding stripped), returns bool."""
         import hashlib
 
         from .. import scalars as sc
@@ -1124,7 +1258,22 @@ class Accelerator:
         range_ok = bool(out[0, 1]) and all_valid
         r_bytes = out[1:]
         sig_ok = all_valid
-        if sig_ok:
+        if sig_ok and sig_hash_fn is not None:
+            real = []
+            row = 0
+            for st in chunk_states:
+                if not st["nk"]:
+                    continue
+                real.append(r_bytes[row : row + st["n_sigs"]])
+                row += st["nk"]
+            sig_ok = bool(
+                sig_hash_fn(
+                    _np.concatenate(real)
+                    if real
+                    else _np.zeros((0, 32), dtype=_np.uint8)
+                )
+            )
+        elif sig_ok:
             row = 0
             e_i = 0
             for st in chunk_states:

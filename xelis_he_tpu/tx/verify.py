@@ -18,6 +18,7 @@ Parity notes:
 
 from __future__ import annotations
 
+import os
 from typing import Protocol
 
 from ..bulletproofs.generators import BP_GENS, PC_GENS
@@ -30,6 +31,7 @@ from ..errors import (
     StateError,
 )
 from ..hashcore.blake3 import blake3
+from ..ops.fe import NLIMBS as NLIMBS_
 from ..pyref.ristretto import IDENTITY, multiscalar_mul
 from ..sigma import BatchCollector
 from ..types import CompressedCiphertext, CompressedPubkey, Hash, NATIVE_ASSET, Role
@@ -717,6 +719,359 @@ def _fused_deferred(
             raise
 
 
+def _fused_native(accel, txs, state, metrics, span):
+    """Whole-block verification with the C++ pre-verify engine
+    (hashcore/csrc/preverify.cpp): transaction parsing, transcript
+    construction, sigma/range folds and MSM lane emission all run in
+    native code; Python keeps only the ledger-state bookkeeping (nonce
+    checks, homomorphic balance updates) and the device dispatch.
+
+    Returns True if the block was handled, False if the caller must fall
+    back to the Python path (unsupported payloads / multisig / no native
+    build) — the support decision is made BEFORE any state mutation."""
+    import os
+
+    import numpy as np
+
+    from .. import scalarops, scalars
+    from ..bulletproofs.generators import BP_GENS, PC_GENS
+    from ..errors import TranscriptError
+    from ..hashcore import preverify_native as pv
+    from .wire import encode_transaction
+
+    n_txs = len(txs)
+    # state-required multisig forces the Python path (checked before any
+    # mutation; tx-carried multisig/contract payloads are caught by collect)
+    get_ms = state.get_multisig_for_account
+    if any(get_ms(tx.source) is not None for tx in txs):
+        return False
+
+    with span("verify_batch.collect"):
+        wires = []
+        for tx in txs:
+            w = getattr(tx, "_wire", None)
+            if w is None:
+                w = tx._wire = encode_transaction(tx)
+            wires.append(w)
+        wire_blob = b"".join(wires)
+        offs = np.zeros(n_txs + 1, dtype=np.uint64)
+        np.cumsum(
+            np.fromiter((len(w) for w in wires), dtype=np.uint64, count=n_txs),
+            out=offs[1:],
+        )
+        sess = pv.lib.xhe_blk_new(n_txs, BP_GENS.party_capacity)
+    try:
+        with span("verify_batch.collect"):
+            lane_counts = np.zeros((n_txs, 3), dtype=np.int32)
+            rcs0 = np.zeros(n_txs, dtype=np.int32)
+            rc = pv.lib.xhe_blk_collect(
+                sess, wire_blob, offs.ctypes.data, n_txs,
+                lane_counts.ctypes.data, rcs0.ctypes.data,
+            )
+            if rc != 0:
+                return False  # unsupported/malformed: Python path decides
+            n_rows = pv.lib.xhe_blk_nrows(sess)
+            enc = np.empty((n_rows, 32), dtype=np.uint8)
+            pv.lib.xhe_blk_encodings(sess, enc.ctypes.data)
+
+        with span("verify_batch.decompress"):
+            accel.begin_block_async_rows(enc)
+            if accel.backend == "jax":
+                _get_device_pump().submit(accel._block_state().pending)
+        metrics.incr("verify_batch.decompressed_points", int(n_rows))
+
+        max_nm = 64 * int(lane_counts[:, 2].max())
+        chunk_txs = max(1, int(os.environ.get("XELIS_VERIFY_CHUNK_TXS", "256")))
+        worker = _get_fold_worker()
+        n_slots = worker.n_slots
+        g_lanes = [np.zeros((max_nm, 32), dtype=np.uint8) for _ in range(n_slots)]
+        h_lanes = [np.zeros((max_nm, 32), dtype=np.uint8) for _ in range(n_slots)]
+        b_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(n_slots)]
+        bb_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(n_slots)]
+        gs_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(n_slots)]
+        hs_bufs = [np.zeros((1, 32), dtype=np.uint8) for _ in range(n_slots)]
+
+        extra_base = accel.block_row_base()
+        from ..elgamal import H as _H
+        from ..pyref.ristretto import IDENTITY as _ID
+
+        sigma_l = lane_counts[:, 0]
+        range_l = lane_counts[:, 1]
+        L = scalars.L
+        T1P = b"\x01\x01\x00\x00\x00\x00"  # term record: +1, tag 1 (inline)
+        T1N = b"\xff\x01\x00\x00\x00\x00"  # -1, tag 1
+
+        def run_group(job) -> None:
+            (lo_g, n_g, blob, soffs, rand, s_sc, s_rw, r_sc, r_rw,
+             k_s, k_e, k_r, unk, unk_base, n_unk) = job
+            ci = worker.slot()
+            pv.lib.xhe_blk_fold_group(
+                sess, lo_g, n_g, blob, soffs.ctypes.data, rand,
+                extra_base,
+                s_sc.ctypes.data, s_rw.ctypes.data,
+                r_sc.ctypes.data, r_rw.ctypes.data,
+                k_s.ctypes.data, k_e.ctypes.data, k_r.ctypes.data,
+                g_lanes[ci].ctypes.data, h_lanes[ci].ctypes.data,
+                b_bufs[ci].ctypes.data, bb_bufs[ci].ctypes.data,
+                gs_bufs[ci].ctypes.data, hs_bufs[ci].ctypes.data,
+                unk.ctypes.data, unk_base, unk.shape[0] // 128,
+                n_unk.ctypes.data,
+                rcs[lo_g : lo_g + n_g].ctypes.data,
+            )
+
+        rcs = np.zeros(n_txs, dtype=np.int32)
+        chunk_states = []
+        n_sigma_total = 0
+        n_range_total = 0
+        for lo in range(0, n_txs, chunk_txs):
+            hi = min(lo + chunk_txs, n_txs)
+            nc = hi - lo
+            worker.begin(run_group)
+            with span("verify_batch.pre_verify"):
+                # ---- state pass: nonce/balance bookkeeping + term blobs
+                parts: list[bytes] = []
+                tx_offs = np.zeros(nc + 1, dtype=np.uint64)
+                term_counts = np.zeros(nc, dtype=np.int32)
+                draw_counts = np.zeros(nc, dtype=np.int32)
+                extras: list = [_ID, _H]
+                extra_ids: dict = {}
+                blob_len = 0
+                for i in range(lo, hi):
+                    tx = txs[i]
+                    src = tx.source
+                    account_nonce = state.get_account_nonce(src)
+                    if account_nonce != tx.nonce:
+                        raise InvalidNonceError(
+                            f"expected {account_nonce}, got {tx.nonce}"
+                        )
+                    state.update_account_nonce(src, tx.nonce)
+                    if not _verify_commitment_assets(tx):
+                        raise ProofVerificationError("format", "commitment assets")
+                    transfers = tx.data if isinstance(tx.data, list) else []
+                    tdec = [_DecompressedTransferCt(t) for t in transfers]
+                    n_terms = 0
+                    for c in tx.new_source_commitments:
+                        cur = state.get_account_balance(src, c.asset, Role.SENDER)
+                        output = _get_sender_output_ct(tx, c.asset, tdec)
+                        new_ct = cur - output
+                        ce = new_ct.commitment._expr
+                        de = new_ct.handle._expr
+                        assert de.g_coeff == 0, "handle expressions carry no G term"
+                        parts.append((ce.g_coeff % L).to_bytes(32, "little"))
+                        parts.append(
+                            len(ce.terms).to_bytes(2, "little")
+                            + len(de.terms).to_bytes(2, "little")
+                        )
+                        for coeff, atom in (*ce.terms, *de.terms):
+                            if type(atom) is bytes:
+                                parts.append((T1P if coeff == 1 else T1N) + atom)
+                                blob_len += 38
+                            else:
+                                row = extra_ids.get(id(atom))
+                                if row is None:
+                                    extras.append(atom)
+                                    row = extra_ids[id(atom)] = (
+                                        extra_base + len(extras) - 1
+                                    )
+                                parts.append(
+                                    (b"\x01\x00" if coeff == 1 else b"\xff\x00")
+                                    + row.to_bytes(4, "little")
+                                )
+                                blob_len += 6
+                        blob_len += 36
+                        n_terms += len(ce.terms) + len(de.terms)
+                        state.update_account_balance(src, c.asset, new_ct, Role.SENDER)
+                        state.set_output_ciphertext(src, c.asset, output)
+                    for transfer, dec in zip(transfers, tdec):
+                        cur = state.get_account_balance(
+                            transfer.dest_pubkey, transfer.asset, Role.RECEIVER
+                        )
+                        state.update_account_balance(
+                            transfer.dest_pubkey,
+                            transfer.asset,
+                            cur + dec.get_ciphertext(Role.RECEIVER),
+                            Role.RECEIVER,
+                        )
+                    k = i - lo
+                    term_counts[k] = n_terms
+                    draw_counts[k] = (
+                        len(tx.new_source_commitments) + len(transfers) + 2
+                    )
+                    tx_offs[k + 1] = blob_len
+                blob = b"".join(parts)
+
+                # ---- allocate chunk outputs, split into worker sub-groups
+                s_lanes = sigma_l[lo:hi] + term_counts
+                s_cum = np.zeros(nc + 1, dtype=np.int64)
+                np.cumsum(s_lanes, out=s_cum[1:])
+                r_cum = np.zeros(nc + 1, dtype=np.int64)
+                np.cumsum(range_l[lo:hi], out=r_cum[1:])
+                d_cum = np.zeros(nc + 1, dtype=np.int64)
+                np.cumsum(draw_counts, out=d_cum[1:])
+                t_cum = np.zeros(nc + 1, dtype=np.int64)
+                np.cumsum(term_counts, out=t_cum[1:])
+                ns_c = int(s_cum[-1])
+                nr_c = int(r_cum[-1])
+                sigma_sc = np.empty((ns_c, 32), dtype=np.uint8)
+                sigma_rows = np.empty(ns_c, dtype=np.int32)
+                range_sc = np.empty((nr_c, 32), dtype=np.uint8)
+                range_rows = np.empty(nr_c, dtype=np.int32)
+                sig_s = np.empty((nc, 32), dtype=np.uint8)
+                sig_e = np.empty((nc, 32), dtype=np.uint8)
+                sig_rows = np.empty(nc, dtype=np.int32)
+                import secrets
+
+                rand = secrets.token_bytes(64 * int(d_cum[-1]))
+                rand_buf = np.frombuffer(rand, dtype=np.uint8)
+
+                n_sub = min(n_slots, nc)
+                bounds = [nc * k // n_sub for k in range(n_sub + 1)]
+                unk_bufs = []
+                unk_counts = []
+                unk_bases = []
+                unk_cum = 0
+                jobs = []
+                for k in range(n_sub):
+                    slo, shi = bounds[k], bounds[k + 1]
+                    cap = int(t_cum[shi] - t_cum[slo])
+                    unk = np.empty(128 * cap, dtype=np.uint8)
+                    n_unk = np.zeros(1, dtype=np.int32)
+                    ub = extra_base + len(extras) + unk_cum
+                    unk_cum += cap
+                    unk_bufs.append(unk)
+                    unk_counts.append(n_unk)
+                    unk_bases.append(ub)
+                    jobs.append((
+                        lo + slo, shi - slo, blob, tx_offs[slo:],
+                        rand_buf.ctypes.data + 64 * int(d_cum[slo]),
+                        sigma_sc[int(s_cum[slo]):], sigma_rows[int(s_cum[slo]):],
+                        range_sc[int(r_cum[slo]):], range_rows[int(r_cum[slo]):],
+                        sig_s[slo:], sig_e[slo:], sig_rows[slo:],
+                        unk, ub, n_unk,
+                    ))
+                for job in jobs[1:]:
+                    worker.submit(job)
+
+            with span("verify_batch.fold_drain"):
+                if jobs:
+                    run_group(jobs[0])  # main thread takes the first share
+                worker.drain()
+            chunk_rcs = rcs[lo:hi]
+            if chunk_rcs.any():
+                bad = int(chunk_rcs[chunk_rcs != 0][0])
+                if bad == pv.RC_IDENTITY:
+                    raise TranscriptError("point should not be the identity")
+                if bad == pv.RC_STATE_DECOMP:
+                    raise DecompressionError("invalid state ciphertext encoding")
+                raise ProofVerificationError("format", f"native fold rc={bad}")
+
+            with span("verify_batch.chunk_dispatch"):
+                # extras: [identity, H, host state points..., unknown-state
+                # decompressions (C++-decompressed coords)]
+                ex_rows = np.zeros(
+                    (len(extras) + unk_cum, 4, NLIMBS_), dtype=np.uint32
+                )
+                ex_rows[: len(extras)] = accel._points_to_rows(extras)
+                for k in range(n_sub):
+                    nu = int(unk_counts[k][0])
+                    if nu:
+                        base = unk_bases[k] - extra_base
+                        coords = unk_bufs[k][: 128 * nu].reshape(nu, 4, 32)
+                        from ..ops.fe import numpy_field
+
+                        fe = numpy_field()
+                        ints = [
+                            int.from_bytes(coords[j, c].tobytes(), "little")
+                            for j in range(nu)
+                            for c in range(4)
+                        ]
+                        ex_rows[base : base + nu] = fe.from_ints(ints).reshape(
+                            nu, 4, NLIMBS_
+                        )
+                st = accel.chunk_lanes_begin_rows(
+                    (sigma_sc, sigma_rows),
+                    (range_sc, range_rows),
+                    (sig_s, sig_e, sig_rows, nc),
+                    ex_rows,
+                    floors=(
+                        (
+                            chunk_states[0]["ns"],
+                            chunk_states[0]["nr"],
+                            chunk_states[0]["nk"],
+                            chunk_states[0]["e_pad"],
+                        )
+                        if chunk_states
+                        else None
+                    ),
+                )
+                chunk_states.append(st)
+                if accel.backend == "jax":
+                    _get_device_pump().submit((st["sigma"], st["range"], st["r_acc"]))
+            n_sigma_total += ns_c
+            n_range_total += nr_c
+
+        metrics.incr("verify_batch.sigma_msm_points", n_sigma_total + 2)
+        metrics.incr("verify_batch.range_msm_points", n_range_total + 2 * max_nm + 2)
+
+        with span("verify_batch.range_fold"):
+            g_total, h_total = g_lanes[0], h_lanes[0]
+            b_total, bb_total = b_bufs[0], bb_bufs[0]
+            gs_total, hs_total = gs_bufs[0], hs_bufs[0]
+            for k in range(1, n_slots):
+                scalarops.axpy_(g_total, g_lanes[k], 1)
+                scalarops.axpy_(h_total, h_lanes[k], 1)
+                scalarops.axpy_(b_total, b_bufs[k], 1)
+                scalarops.axpy_(bb_total, bb_bufs[k], 1)
+                scalarops.axpy_(gs_total, gs_bufs[k], 1)
+                scalarops.axpy_(hs_total, hs_bufs[k], 1)
+            from ..sigma import G as _G
+
+            shared_sigma = (
+                np.concatenate([gs_total, hs_total]), [_G, _H]
+            )
+            shared_range = (
+                np.concatenate([b_total, bb_total, g_total, h_total]),
+                [PC_GENS.B, PC_GENS.B_blinding, ("__bp_gens__", 64, max_nm // 64)],
+            )
+
+        def sig_hash_fn(r_rows: np.ndarray) -> bool:
+            r_cont = np.ascontiguousarray(r_rows)  # keep alive past the call
+            ok = np.zeros(r_cont.shape[0], dtype=np.int32)
+            bad = pv.lib.xhe_blk_sig_check(
+                sess, 0, r_cont.shape[0], r_cont.ctypes.data, ok.ctypes.data
+            )
+            return bad == 0
+
+        with span("verify_batch.device_checks"):
+            try:
+                sigma_ok, range_ok, sigs_ok = accel.fused_chunks_finish(
+                    chunk_states, shared_sigma, shared_range, None,
+                    sig_hash_fn=sig_hash_fn,
+                )
+            except Exception as e:
+                pump_err = (
+                    _get_device_pump().take_error()
+                    if accel.backend == "jax"
+                    else None
+                )
+                if pump_err is not None:
+                    raise e from pump_err
+                raise
+        if not (sigma_ok and range_ok and sigs_ok):
+            if not all(accel.block_valid_flags()):
+                raise ProofVerificationError(
+                    "decompression", "invalid point encoding in block"
+                )
+            if not sigs_ok:
+                raise ProofVerificationError("signature")
+            if not sigma_ok:
+                raise ProofVerificationError("generic_proof", "sigma batch")
+            raise ProofVerificationError("range_proof", "batch verification equation")
+        return True
+    finally:
+        pv.lib.xhe_blk_free(sess)
+
+
 def verify_batch(
     txs: list[Transaction],
     state: BlockchainVerificationState,
@@ -749,6 +1104,28 @@ def verify_batch(
         return
 
     metrics.incr("verify_batch.txs", len(txs))
+    if accel is not None and txs:
+        # native block engine first: C++ parse/transcript/fold, Python only
+        # state bookkeeping.  Returns False (before any state mutation) for
+        # shapes it doesn't cover — multisig, contract payloads — which
+        # then take the per-tx fold-script path below.
+        try:
+            from ..hashcore import preverify_native as _pv  # noqa: F401
+        except Exception:  # pragma: no cover - native build unavailable
+            _pv = None
+        if _pv is not None and os.environ.get("XELIS_NATIVE_PREVERIFY", "1") != "0":
+            handled = None
+            set_block_lazy(True)
+            try:
+                handled = _fused_native(accel, txs, state, metrics, span)
+            finally:
+                set_block_lazy(False)
+                if handled is not False:  # success OR exception: clean up
+                    clear_decompress_cache()
+                    accel.end_block()
+            if handled:
+                return
+
     sig_entries = None
     seeded = False
     tx_bytes_pairs: list | None = None
