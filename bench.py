@@ -39,7 +39,7 @@ def main():
     # this setup dominates, at 1000 the figure reflects the engine
     n_txs = int(os.environ.get("XELIS_BENCH_TXS", "1000"))
     n_transfers = int(os.environ.get("XELIS_BENCH_TRANSFERS", "1"))
-    iters = int(os.environ.get("XELIS_BENCH_ITERS", "3"))
+    iters = int(os.environ.get("XELIS_BENCH_ITERS", "7"))
     backend = os.environ.get("XELIS_BENCH_BACKEND", "jax")
 
     from xelis_he_tpu import (
@@ -98,20 +98,35 @@ def main():
     warmup_s = time.time() - t0
     log(f"warmup verify (incl. compiles): {warmup_s:.1f}s")
 
+    # GC discipline: the block's object graph (txs, proofs, jax runtime) is
+    # long-lived; without freeze() a gen2 collection lands mid-iteration and
+    # costs ~0.7 s scanning it (the "1 ms/tx outlier" of rounds 2-3,
+    # root-caused in round 4).  freeze() moves the persistent graph out of
+    # the collector's reach — production verifiers should do the same after
+    # startup.
+    import gc
+
+    gc.collect()
+    gc.freeze()
+
     from xelis_he_tpu.metrics import metrics
 
-    best = float("inf")
+    times = []
     for it in range(iters):
         state = ledger.clone()
         metrics.reset()
         t0 = time.time()
         verify_batch(txs, state, accel=accel)
         dt = time.time() - t0
-        best = min(best, dt)
+        times.append(dt)
         log(f"  iter {it}: {dt * 1000:.1f} ms total, {dt * 1000 / n_txs:.3f} ms/tx")
     if os.environ.get("XELIS_BENCH_METRICS"):
         log("metrics (last iter):", metrics.json_line())
 
+    times.sort()
+    best = times[0]
+    p50 = times[len(times) // 2]
+    p95 = times[min(len(times) - 1, int(len(times) * 0.95))]
     ms_per_tx = best * 1000 / n_txs
     print(
         json.dumps(
@@ -120,6 +135,8 @@ def main():
                 "value": round(ms_per_tx, 4),
                 "unit": "ms/tx",
                 "vs_baseline": round(BASELINE_MS_PER_TX / ms_per_tx, 3),
+                "p50_ms_per_tx": round(p50 * 1000 / n_txs, 4),
+                "p95_ms_per_tx": round(p95 * 1000 / n_txs, 4),
                 "warmup_s": round(warmup_s, 1),
                 "n_txs": n_txs,
             }

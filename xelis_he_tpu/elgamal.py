@@ -94,25 +94,61 @@ class PointExpr:
     verification hot path builds these instead of evaluating field
     arithmetic; sigma verification expands them directly into the batch
     collector's MSM, so the combination is *never* evaluated at all.
-    """
 
-    __slots__ = ("terms", "g_coeff")
+    Add/sub are O(1): they build an immutable expression DAG (concat nodes
+    with an optional subtree negation) and ``terms`` flattens lazily with
+    caching.  This matters for hot accounts — a receiver credited by every
+    tx of a 10k-tx block accumulates ~20k terms, and eager tuple concat
+    made block verification quadratic in block size (the round-3
+    2500-to-10k curve bend, root-caused in round 4)."""
 
-    def __init__(self, terms: tuple = (), g_coeff: int = 0):
-        self.terms = terms  # tuple of (coeff, atom)
+    __slots__ = ("_terms", "_l", "_r", "_neg", "g_coeff")
+
+    def __init__(self, terms: tuple = (), g_coeff: int = 0, _l=None, _r=None,
+                 _neg: bool = False):
+        self._terms = tuple(terms) if _l is None else None
+        self._l = _l
+        self._r = _r
+        self._neg = _neg
         self.g_coeff = g_coeff
 
+    @property
+    def terms(self) -> tuple:
+        t = self._terms
+        if t is None:
+            segs = []
+            stack = [(self, False)]
+            while stack:
+                n, neg = stack.pop()
+                neg = neg != n._neg
+                if n._terms is not None:
+                    segs.append(
+                        n._terms if not neg
+                        else tuple((-c, a) for c, a in n._terms)
+                    )
+                else:
+                    # push right first so left flattens first (pop order)
+                    stack.append((n._r, neg))
+                    stack.append((n._l, neg))
+            flat: list = []
+            for s in segs:
+                flat.extend(s)
+            # cache only (chain kept: a concurrent reader may still be
+            # walking it — the transition is benign either way)
+            self._terms = t = tuple(flat)
+        return t
+
     def __add__(self, other: "PointExpr") -> "PointExpr":
-        return PointExpr(self.terms + other.terms, self.g_coeff + other.g_coeff)
+        return PointExpr((), self.g_coeff + other.g_coeff, _l=self, _r=other)
 
     def __sub__(self, other: "PointExpr") -> "PointExpr":
-        return PointExpr(
-            self.terms + tuple((-c, a) for c, a in other.terms),
-            self.g_coeff - other.g_coeff,
-        )
+        neg = PointExpr((), 0, _l=other, _r=_EMPTY_EXPR, _neg=True)
+        return PointExpr((), self.g_coeff - other.g_coeff, _l=self, _r=neg)
 
     def add_g(self, x: int) -> "PointExpr":
-        return PointExpr(self.terms, self.g_coeff + x)
+        if self._terms is not None:
+            return PointExpr(self._terms, self.g_coeff + x)
+        return PointExpr((), self.g_coeff + x, _l=self, _r=_EMPTY_EXPR)
 
     def evaluate(self) -> RistrettoPoint:
         """Host evaluation (off the hot path: decrypt, compress, equality).
@@ -130,6 +166,9 @@ class PointExpr:
         if not sc:
             return IDENTITY
         return multiscalar_mul(sc, pts)
+
+
+_EMPTY_EXPR = PointExpr()
 
 
 class _LazyPointMixin:

@@ -747,12 +747,10 @@ def _fused_native(accel, txs, state, metrics, span):
         return False
 
     with span("verify_batch.collect"):
-        wires = []
-        for tx in txs:
-            w = getattr(tx, "_wire", None)
-            if w is None:
-                w = tx._wire = encode_transaction(tx)
-            wires.append(w)
+        # serialized FRESH each call: Transaction objects are mutable (tests
+        # tamper fields in place), so a cross-call cache could verify stale
+        # bytes that disagree with the object
+        wires = [encode_transaction(tx) for tx in txs]
         wire_blob = b"".join(wires)
         offs = np.zeros(n_txs + 1, dtype=np.uint64)
         np.cumsum(
