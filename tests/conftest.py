@@ -14,6 +14,11 @@ import sys
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+# Accel tests use small blocks; keep them on the device path (the
+# small-batch host crossover would silently reroute them otherwise).
+# tests/test_tx.py::test_host_crossover exercises the crossover itself.
+os.environ.setdefault("XELIS_HOST_VERIFY_MAX", "0")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

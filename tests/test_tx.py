@@ -366,3 +366,39 @@ def test_extra_data_roundtrip():
     assert transfer.decrypt_amount(alice.keypair.secret(), Role.SENDER).as_point() == mul_base(10)
     # wrong key yields garbage, not the plaintext
     assert transfer.decrypt_extra_data(bob.keypair.secret(), Role.SENDER).data != b"the quick brown fox"
+
+
+def test_host_crossover(monkeypatch):
+    """Small blocks route to the host C++ Pippenger path even when an
+    accelerator is passed (verify.py small-batch crossover); results and
+    state effects are identical to the device path."""
+    monkeypatch.setenv("XELIS_HOST_VERIFY_MAX", "32")
+    from xelis_he_tpu.ops.accel import Accelerator
+
+    accel = Accelerator("numpy")
+    calls = {"n": 0}
+    orig = Accelerator.begin_block_async
+
+    def spy(self, encodings):
+        calls["n"] += 1
+        return orig(self, encodings)
+
+    monkeypatch.setattr(Accelerator, "begin_block_async", spy)
+
+    alice, bob = Account([(NATIVE_ASSET, 100)]), Account([(NATIVE_ASSET, 0)])
+    ledger, (pk_a, pk_b) = _ledger_with(alice, bob)
+    tx = _transfer_builder(pk_a, pk_b, amount=10, fee=1).build(
+        GenerationBalance({NATIVE_ASSET: 100}, alice), alice.keypair
+    )
+    verify_batch([tx], ledger, accel=accel)
+    assert calls["n"] == 0, "small block must not touch the device pipeline"
+    assert ledger.get_bal_decrypted(pk_a, NATIVE_ASSET) == mul_base(89)
+    assert ledger.get_bal_decrypted(pk_b, NATIVE_ASSET) == mul_base(10)
+
+    # tampered tx still rejected on the host path
+    bad = _transfer_builder(pk_a, pk_b, amount=10, fee=1, nonce=0).build(
+        GenerationBalance({NATIVE_ASSET: 89}, alice), alice.keypair
+    )
+    bad.fee = 2
+    with pytest.raises(ProofVerificationError):
+        verify_batch([bad], ledger, accel=accel)

@@ -1103,6 +1103,14 @@ def verify_batch(
 
     metrics.incr("verify_batch.txs", len(txs))
     if accel is not None and txs:
+        # small-batch crossover: below ~32 txs the device pipeline is
+        # dominated by dispatch + sync latency (~45 ms single-tx on a
+        # tunneled chip) while the host C++ Pippenger serves the whole
+        # block in ~1-5 ms — route small blocks there (measured crossover
+        # between 16 and 64 txs; see PERF_NOTES.md round 4)
+        if len(txs) <= int(os.environ.get("XELIS_HOST_VERIFY_MAX", "32")):
+            accel = None
+    if accel is not None and txs:
         # native block engine first: C++ parse/transcript/fold, Python only
         # state bookkeeping.  Returns False (before any state mutation) for
         # shapes it doesn't cover — multisig, contract payloads — which
