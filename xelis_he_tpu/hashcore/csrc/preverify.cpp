@@ -138,6 +138,53 @@ struct TxD {
   u64 e_red[4];  // signature e reduced mod L (for the final hash check)
 };
 
+// Bulk state pass (round 4): per-(account, asset) running balance term
+// vectors.  Homomorphic updates only APPEND terms (sender spends append
+// negated transfer rows, receiver credits append positive rows), so the
+// balance snapshot a commitment-eq proof needs is always a PREFIX of the
+// pair's vector — hot accounts stay O(1) per touch and snapshots are
+// {pair, c_len, d_len, g} quadruples, never copies.
+struct PairState {
+  std::vector<int32_t> c_rows, d_rows;  // commitment / handle term rows
+  std::vector<int8_t> c_coef, d_coef;   // +-1 each
+  u64 g[4] = {0, 0, 0, 0};              // commitment G coefficient mod L
+  uint8_t last_role = 0;                // 0 sender, 1 receiver (last touch)
+};
+
+struct CommSnap {  // per (tx, commitment) balance snapshot
+  int32_t pair = -1;
+  uint32_t c_len = 0, d_len = 0;
+  u64 g[4] = {0, 0, 0, 0};
+};
+
+// open-addressing (acct_id, asset_id) -> pair_id map, sized once (pair
+// count is bounded by total commitments + transfers; no grow path)
+struct PairMap {
+  std::vector<uint64_t> keys;
+  std::vector<int32_t> vals;
+  size_t mask = 0;
+
+  void reserve(size_t expect) {
+    size_t cap = 64;
+    while (cap < (expect + 1) * 2) cap <<= 1;
+    keys.assign(cap, ~0ull);
+    vals.assign(cap, -1);
+    mask = cap - 1;
+  }
+  int32_t get_or_add(uint64_t key, int32_t next_id) {
+    size_t i = (key * 0x9e3779b97f4a7c15ULL ^ (key >> 29)) & mask;
+    for (;;) {
+      if (keys[i] == ~0ull) {
+        keys[i] = key;
+        vals[i] = next_id;
+        return -next_id - 1;  // negative: newly added
+      }
+      if (keys[i] == key) return vals[i];
+      i = (i + 1) & mask;
+    }
+  }
+};
+
 struct BlockSession {
   Intern intern;
   const uint8_t *wire = nullptr;
@@ -148,6 +195,24 @@ struct BlockSession {
   std::vector<uint8_t> preimage;  // signing-preimage arena
   size_t max_party = 0;
   Strobe tmpl;  // merlin("Merlin v1.0") + dom-sep "transaction-proof"
+
+  // ---- bulk state pass (schema built by xhe_blk_state_schema) ----
+  bool bulk = false;
+  Intern acct_in, asset_in;            // 32-byte pubkey / asset interning
+  std::vector<uint32_t> acct_off;      // wire offset of first occurrence
+  std::vector<uint8_t> acct_sender;    // account ever appears as a source
+  std::vector<uint32_t> asset_woff;    // wire offset per asset id
+  PairMap pair_map;
+  std::vector<int32_t> pair_acct, pair_asset;
+  std::vector<uint8_t> pair_role;      // first-touch role (0 snd, 1 rcv)
+  std::vector<int32_t> tx_acct;        // per tx: source account id
+  std::vector<int32_t> comm_pair;      // per global commitment: pair id
+  std::vector<int32_t> transfer_pair;  // per global transfer: pair id
+  // filled by xhe_blk_state_run
+  std::vector<PairState> pstates;
+  std::vector<CommSnap> snaps;  // indexed by global commitment index
+  std::vector<uint64_t> nonces;
+  std::vector<uint8_t> unk_encs;  // 32B per out-of-block state encoding
 };
 
 struct Rd {
@@ -226,6 +291,8 @@ enum {
   RC_NONCANONICAL = 5,  // non-canonical proof scalar
   RC_STATE_REF = 6,     // state term overflow (unk_cap exceeded)
   RC_STATE_DECOMP = 7,  // invalid state term encoding (DecompressionError)
+  RC_NONCE = 8,         // nonce mismatch (InvalidNonceError)
+  RC_COMMASSETS = 9,    // commitment-assets check failed (format error)
 };
 
 }  // namespace
@@ -449,6 +516,312 @@ void xhe_blk_encodings(BlockSession *s, uint8_t *out) {
   std::memcpy(out, s->intern.arena.data(), s->intern.arena.size());
 }
 
+// ---- bulk state pass -------------------------------------------------
+//
+// The verifier's per-tx ledger bookkeeping (verify.rs:201-485: nonce
+// check/update, commitment-assets validation, homomorphic balance
+// updates) runs natively for states that opt into the bulk interface
+// (mock.Ledger does): the caller fetches each touched (account, asset)
+// pair's INITIAL balance once, the engine replays every transaction's
+// mutations sequentially, and the caller writes final balances back once
+// per pair.  Equivalent to the per-tx protocol for any state whose
+// get/update methods are plain map reads/writes with role-independent
+// balances.
+
+// Enumerate distinct accounts and (account, asset) pairs in protocol
+// touch order (per tx: source, then commitment assets, then transfer
+// destinations — the order the sequential path would first touch them).
+int xhe_blk_state_schema(BlockSession *s, int32_t *n_accounts,
+                         int32_t *n_pairs) {
+  size_t n = s->txs.size();
+  s->acct_in.reserve(n * 2 + 8);
+  s->asset_in.reserve(n + 8);
+  s->pair_map.reserve(s->comms.size() + s->transfers.size());
+  s->tx_acct.resize(n);
+  s->comm_pair.resize(s->comms.size());
+  s->transfer_pair.resize(s->transfers.size());
+  const uint8_t *wire = s->wire;
+
+  auto intern_acct = [&](uint32_t woff, bool sender) -> int32_t {
+    uint32_t before = s->acct_in.row_count();
+    int32_t id = (int32_t)s->acct_in.put(wire + woff);
+    if ((uint32_t)id == before) {  // new
+      s->acct_off.push_back(woff);
+      s->acct_sender.push_back(sender ? 1 : 0);
+    } else if (sender) {
+      s->acct_sender[id] = 1;
+    }
+    return id;
+  };
+  auto intern_asset = [&](uint32_t woff) -> int32_t {
+    uint32_t before = s->asset_in.row_count();
+    int32_t id = (int32_t)s->asset_in.put(wire + woff);
+    if ((uint32_t)id == before) s->asset_woff.push_back(woff);
+    return id;
+  };
+  auto touch_pair = [&](int32_t aid, int32_t asid, uint8_t role) -> int32_t {
+    uint64_t key = ((uint64_t)(uint32_t)aid << 32) | (uint32_t)asid;
+    int32_t next = (int32_t)s->pair_acct.size();
+    int32_t got = s->pair_map.get_or_add(key, next);
+    if (got < 0) {  // newly added
+      s->pair_acct.push_back(aid);
+      s->pair_asset.push_back(asid);
+      s->pair_role.push_back(role);
+      return next;
+    }
+    return got;
+  };
+
+  for (size_t i = 0; i < n; ++i) {
+    const TxD &tx = s->txs[i];
+    int32_t aid = intern_acct(tx.src_off, true);
+    s->tx_acct[i] = aid;
+    for (uint32_t ci = 0; ci < tx.n_comms; ++ci) {
+      const CommD &c = s->comms[tx.cm0 + ci];
+      s->comm_pair[tx.cm0 + ci] = touch_pair(aid, intern_asset(c.asset_off), 0);
+    }
+    if (tx.kind == 0) {
+      for (uint32_t fi = 0; fi < tx.n_transfers; ++fi) {
+        const TransferD &t = s->transfers[tx.tr0 + fi];
+        int32_t did = intern_acct(t.dest_off, false);
+        s->transfer_pair[tx.tr0 + fi] =
+            touch_pair(did, intern_asset(t.asset_off), 1);
+      }
+    }
+  }
+  *n_accounts = (int32_t)s->acct_in.row_count();
+  *n_pairs = (int32_t)s->pair_acct.size();
+  s->bulk = true;
+  return 0;
+}
+
+// Copy the schema tables out for the caller's state fetches.
+void xhe_blk_state_tables(BlockSession *s, uint32_t *acct_off,
+                          uint8_t *acct_sender, int32_t *pair_acct,
+                          uint32_t *pair_asset_off, uint8_t *pair_role) {
+  size_t na = s->acct_off.size(), np = s->pair_acct.size();
+  std::memcpy(acct_off, s->acct_off.data(), na * 4);
+  std::memcpy(acct_sender, s->acct_sender.data(), na);
+  std::memcpy(pair_acct, s->pair_acct.data(), np * 4);
+  for (size_t p = 0; p < np; ++p)
+    pair_asset_off[p] = s->asset_woff[s->pair_asset[p]];
+  std::memcpy(pair_role, s->pair_role.data(), np);
+}
+
+// Sequential state pass over every transaction: nonce check/update,
+// commitment-assets validation, balance bookkeeping + per-commitment
+// snapshots.  init_blob/init_offs: per-pair initial balances in the same
+// {g, n_c, n_d, term records} format as the fold-group state blob (tag 1
+// encodings not in the block are decompressed into unk_coords and take
+// device rows extra_base + n_extras + k).  Outputs per-tx term_counts
+// (state lanes the sigma MSM grows by) and draw_counts (64-byte random
+// draws the fold pass will consume).  On failure returns the rc, with
+// *first_bad = failing tx index and *bad_aux = expected nonce (RC_NONCE);
+// mutations up to the failure point are kept (reference parity:
+// verify.rs mutates state per tx as it streams).
+int xhe_blk_state_run(BlockSession *s, const uint64_t *nonces,
+                      const uint8_t *init_blob, const uint64_t *init_offs,
+                      int64_t extra_base, size_t n_extras,
+                      uint8_t *unk_coords, size_t unk_cap,
+                      int32_t *n_unk_out, int32_t *term_counts,
+                      int32_t *draw_counts, int32_t *first_bad,
+                      uint64_t *bad_aux) {
+  const uint8_t *wire = s->wire;
+  size_t n = s->txs.size();
+  size_t np = s->pair_acct.size();
+  size_t n_unk = 0;
+  *first_bad = -1;
+  *bad_aux = 0;
+
+  // 1. parse initial balances into the pair states
+  s->pstates.assign(np, PairState{});
+  s->snaps.assign(s->comms.size(), CommSnap{});
+  s->nonces.assign(nonces, nonces + s->acct_off.size());
+  s->unk_encs.clear();
+  for (size_t p = 0; p < np; ++p) {
+    PairState &P = s->pstates[p];
+    P.last_role = s->pair_role[p];
+    const uint8_t *sb = init_blob + init_offs[p];
+    const uint8_t *sb_end = init_blob + init_offs[p + 1];
+    if (sb + 36 > sb_end) return RC_MALFORMED;
+    load(sb, P.g);
+    sb += 32;
+    uint16_t n_c, n_d;
+    std::memcpy(&n_c, sb, 2);
+    std::memcpy(&n_d, sb + 2, 2);
+    sb += 4;
+    P.c_rows.reserve(n_c + 8);
+    P.d_rows.reserve(n_d + 8);
+    for (uint32_t k = 0; k < (uint32_t)n_c + n_d; ++k) {
+      if (sb + 6 > sb_end) return RC_MALFORMED;
+      int8_t coeff = (int8_t)sb[0];
+      uint8_t tag = sb[1];
+      uint32_t val;
+      std::memcpy(&val, sb + 2, 4);
+      sb += 6;
+      int32_t row;
+      if (tag == 0) {
+        row = (int32_t)val;
+      } else if (tag == 1) {
+        if (sb + 32 > sb_end) return RC_MALFORMED;
+        uint32_t r0 = s->intern.get(sb);
+        if (r0 != NO_ROW) {
+          row = (int32_t)r0;
+        } else if (n_unk < unk_cap) {
+          if (!xhe_pt_decompress(sb, unk_coords + 128 * n_unk))
+            return RC_STATE_DECOMP;
+          row = (int32_t)(extra_base + (int64_t)n_extras + (int64_t)n_unk);
+          s->unk_encs.insert(s->unk_encs.end(), sb, sb + 32);
+          ++n_unk;
+        } else {
+          return RC_STATE_REF;
+        }
+        sb += 32;
+      } else {
+        return RC_MALFORMED;
+      }
+      if (k < n_c) {
+        P.c_rows.push_back(row);
+        P.c_coef.push_back(coeff);
+      } else {
+        P.d_rows.push_back(row);
+        P.d_coef.push_back(coeff);
+      }
+    }
+  }
+  *n_unk_out = (int32_t)n_unk;
+
+  // 2. replay every transaction's mutations in order
+  static const uint8_t Z32[32] = {0};
+  for (size_t i = 0; i < n; ++i) {
+    const TxD &tx = s->txs[i];
+    int32_t aid = s->tx_acct[i];
+    if (s->nonces[aid] != tx.nonce) {
+      *first_bad = (int32_t)i;
+      *bad_aux = s->nonces[aid];
+      return RC_NONCE;
+    }
+    s->nonces[aid] = tx.nonce;
+
+    // commitment-assets: native present, no duplicates, full coverage
+    bool native = false, ok = true;
+    for (uint32_t ci = 0; ci < tx.n_comms && ok; ++ci) {
+      const uint8_t *a = wire + s->comms[tx.cm0 + ci].asset_off;
+      if (!std::memcmp(a, Z32, 32)) native = true;
+      for (uint32_t cj = ci + 1; cj < tx.n_comms; ++cj)
+        if (!std::memcmp(a, wire + s->comms[tx.cm0 + cj].asset_off, 32)) {
+          ok = false;
+          break;
+        }
+    }
+    if (ok && !native) ok = false;
+    if (ok && tx.kind == 0) {
+      for (uint32_t fi = 0; fi < tx.n_transfers && ok; ++fi) {
+        const uint8_t *a = wire + s->transfers[tx.tr0 + fi].asset_off;
+        bool covered = false;
+        for (uint32_t ci = 0; ci < tx.n_comms; ++ci)
+          if (!std::memcmp(a, wire + s->comms[tx.cm0 + ci].asset_off, 32)) {
+            covered = true;
+            break;
+          }
+        ok = covered;
+      }
+    } else if (ok && tx.kind == 1) {
+      bool covered = false;
+      for (uint32_t ci = 0; ci < tx.n_comms; ++ci)
+        if (!std::memcmp(wire + tx.burn_off,
+                         wire + s->comms[tx.cm0 + ci].asset_off, 32)) {
+          covered = true;
+          break;
+        }
+      ok = covered;
+    }
+    if (!ok) {
+      *first_bad = (int32_t)i;
+      return RC_COMMASSETS;
+    }
+
+    int32_t terms = 0;
+    for (uint32_t ci = 0; ci < tx.n_comms; ++ci) {
+      const CommD &c = s->comms[tx.cm0 + ci];
+      const uint8_t *asset = wire + c.asset_off;
+      int32_t pid = s->comm_pair[tx.cm0 + ci];
+      PairState &P = s->pstates[pid];
+      // new = cur - output; output = fee*G (native) + burn (match) +
+      // sum of same-asset transfer ciphertexts (sender handles)
+      if (!std::memcmp(asset, Z32, 32)) {
+        u64 fv[4] = {tx.fee, 0, 0, 0};
+        sub_mod(P.g, fv, P.g);
+      }
+      if (tx.kind == 1 && !std::memcmp(asset, wire + tx.burn_off, 32)) {
+        u64 bv[4] = {tx.burn_amount, 0, 0, 0};
+        sub_mod(P.g, bv, P.g);
+      }
+      if (tx.kind == 0) {
+        for (uint32_t fi = 0; fi < tx.n_transfers; ++fi) {
+          const TransferD &t = s->transfers[tx.tr0 + fi];
+          if (std::memcmp(asset, wire + t.asset_off, 32)) continue;
+          P.c_rows.push_back(t.commit_row);
+          P.c_coef.push_back(-1);
+          P.d_rows.push_back(t.sh_row);
+          P.d_coef.push_back(-1);
+        }
+      }
+      P.last_role = 0;
+      CommSnap &sn = s->snaps[tx.cm0 + ci];
+      sn.pair = pid;
+      sn.c_len = (uint32_t)P.c_rows.size();
+      sn.d_len = (uint32_t)P.d_rows.size();
+      std::memcpy(sn.g, P.g, 32);
+      terms += (int32_t)(sn.c_len + sn.d_len);
+    }
+    if (tx.kind == 0) {
+      for (uint32_t fi = 0; fi < tx.n_transfers; ++fi) {
+        const TransferD &t = s->transfers[tx.tr0 + fi];
+        PairState &P = s->pstates[s->transfer_pair[tx.tr0 + fi]];
+        P.c_rows.push_back(t.commit_row);
+        P.c_coef.push_back(1);
+        P.d_rows.push_back(t.rh_row);
+        P.d_coef.push_back(1);
+        P.last_role = 1;
+      }
+    }
+    term_counts[i] = terms;
+    draw_counts[i] = (int32_t)(tx.n_comms + tx.n_transfers + 2);
+  }
+  return RC_OK;
+}
+
+// Final-state sizes for the caller's write-back allocation.
+void xhe_blk_state_sizes(BlockSession *s, int32_t *c_lens, int32_t *d_lens) {
+  for (size_t p = 0; p < s->pstates.size(); ++p) {
+    c_lens[p] = (int32_t)s->pstates[p].c_rows.size();
+    d_lens[p] = (int32_t)s->pstates[p].d_rows.size();
+  }
+}
+
+// Emit final balances (rows/coeffs concatenated per pair: C terms then D
+// terms), per-pair g coefficients + last-touch roles, final per-account
+// nonces, and the out-of-block encodings (32B each, in unk-row order).
+void xhe_blk_state_emit(BlockSession *s, int32_t *rows, int8_t *coeffs,
+                        uint8_t *gcos, uint8_t *roles, uint64_t *nonces_out,
+                        uint8_t *unk_encs_out) {
+  size_t w = 0;
+  for (size_t p = 0; p < s->pstates.size(); ++p) {
+    const PairState &P = s->pstates[p];
+    std::memcpy(rows + w, P.c_rows.data(), P.c_rows.size() * 4);
+    std::memcpy(coeffs + w, P.c_coef.data(), P.c_coef.size());
+    w += P.c_rows.size();
+    std::memcpy(rows + w, P.d_rows.data(), P.d_rows.size() * 4);
+    std::memcpy(coeffs + w, P.d_coef.data(), P.d_coef.size());
+    w += P.d_rows.size();
+    store(gcos + 32 * p, P.g);
+    roles[p] = P.last_role;
+  }
+  std::memcpy(nonces_out, s->nonces.data(), s->nonces.size() * 8);
+  std::memcpy(unk_encs_out, s->unk_encs.data(), s->unk_encs.size());
+}
+
 // Fold a group of transactions [tx_lo, tx_lo+n).
 //
 // state_blob/state_offs: per-tx homomorphic balance descriptors —
@@ -500,8 +873,8 @@ int xhe_blk_fold_group(BlockSession *s, size_t tx_lo, size_t n,
 
   for (size_t ti = 0; ti < n; ++ti) {
     const TxD &tx = s->txs[tx_lo + ti];
-    const uint8_t *sb = state_blob + state_offs[ti];
-    const uint8_t *sb_end = state_blob + state_offs[ti + 1];
+    const uint8_t *sb = state_blob ? state_blob + state_offs[ti] : nullptr;
+    const uint8_t *sb_end = state_blob ? state_blob + state_offs[ti + 1] : nullptr;
     int rc = RC_OK;
 
     Strobe st = s->tmpl;
@@ -534,23 +907,39 @@ int xhe_blk_fold_group(BlockSession *s, size_t tx_lo, size_t n,
         std::memcpy(sigma_sc + 32 * sw, out9 + 32 * off5[k], 32);
         sigma_rows[sw++] = row5[k];
       }
+      u64 gco[4];
+      u64 neg2[4], neg3[4], o2[4], o3[4];
+      load(out9 + 64, o2);
+      load(out9 + 96, o3);
+      sub_mod(zero4, o2, neg2);
+      sub_mod(zero4, o3, neg3);
+      if (s->bulk && !state_blob) {
+        // bulk mode: balance terms come from the state pass's snapshot —
+        // a prefix of the pair's append-only term vectors, already
+        // resolved to device rows
+        const CommSnap &sn = s->snaps[tx.cm0 + ci];
+        const PairState &P = s->pstates[sn.pair];
+        std::memcpy(gco, sn.g, 32);
+        for (uint32_t k = 0; k < sn.c_len; ++k) {
+          store(sigma_sc + 32 * sw, P.c_coef[k] == 1 ? o3 : neg3);
+          sigma_rows[sw++] = P.c_rows[k];
+        }
+        for (uint32_t k = 0; k < sn.d_len; ++k) {
+          store(sigma_sc + 32 * sw, P.d_coef[k] == 1 ? o2 : neg2);
+          sigma_rows[sw++] = P.d_rows[k];
+        }
+      } else {
       // state descriptor: g_coeff + C/D term lists
       if (sb + 32 + 4 > sb_end) {
         rc = RC_MALFORMED;
         break;
       }
-      u64 gco[4];
       load(sb, gco);
       sb += 32;
       uint16_t n_c, n_d;
       std::memcpy(&n_c, sb, 2);
       std::memcpy(&n_d, sb + 2, 2);
       sb += 4;
-      u64 neg2[4], neg3[4], o2[4], o3[4];
-      load(out9 + 64, o2);
-      load(out9 + 96, o3);
-      sub_mod(zero4, o2, neg2);
-      sub_mod(zero4, o3, neg3);
       for (uint32_t k = 0; k < (uint32_t)n_c + n_d && !rc; ++k) {
         const u64 *pos = k < n_c ? o3 : o2;  // C terms use out3, D out2
         const u64 *neg = k < n_c ? neg3 : neg2;
@@ -596,6 +985,7 @@ int xhe_blk_fold_group(BlockSession *s, size_t tx_lo, size_t n,
         sigma_rows[sw++] = row;
       }
       if (rc) break;
+      }
       // g += out7 + g_coeff*out3 ; h += out8
       u64 t1[4], t2[4];
       mul_mod(gco, o3, t1);

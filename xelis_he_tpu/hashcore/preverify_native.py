@@ -32,6 +32,8 @@ RC_RANGE_STRUCT = 4
 RC_NONCANONICAL = 5
 RC_STATE_REF = 6
 RC_STATE_DECOMP = 7
+RC_NONCE = 8
+RC_COMMASSETS = 9
 
 
 def _build() -> pathlib.Path:
@@ -96,3 +98,41 @@ lib.xhe_blk_fold_group.restype = ctypes.c_int
 
 lib.xhe_blk_sig_check.argtypes = [_vp, _sz, _sz, _vp, _vp]
 lib.xhe_blk_sig_check.restype = ctypes.c_int
+
+# ---- bulk state pass -------------------------------------------------
+
+lib.xhe_blk_state_schema.argtypes = [_vp, _vp, _vp]  # n_accounts*, n_pairs*
+lib.xhe_blk_state_schema.restype = ctypes.c_int
+
+lib.xhe_blk_state_tables.argtypes = [
+    _vp,  # session
+    _vp,  # uint32 acct_off (n_accounts,)
+    _vp,  # uint8 acct_sender (n_accounts,)
+    _vp,  # int32 pair_acct (n_pairs,)
+    _vp,  # uint32 pair_asset_off (n_pairs,)
+    _vp,  # uint8 pair_role (n_pairs,)
+]
+lib.xhe_blk_state_tables.restype = None
+
+lib.xhe_blk_state_run.argtypes = [
+    _vp,       # session
+    _vp,       # uint64 nonces (n_accounts,)
+    _vp, _vp,  # init blob, uint64 offsets (n_pairs+1)
+    _i64, _sz,  # extra_base, n_extras
+    _vp, _sz, _vp,  # unk_coords, unk_cap, int32 n_unk_out*
+    _vp, _vp,  # int32 term_counts, int32 draw_counts (n_txs each)
+    _vp, _vp,  # int32 first_bad*, uint64 bad_aux*
+]
+lib.xhe_blk_state_run.restype = ctypes.c_int
+
+lib.xhe_blk_state_sizes.argtypes = [_vp, _vp, _vp]  # int32 c_lens, d_lens
+lib.xhe_blk_state_sizes.restype = None
+
+lib.xhe_blk_state_emit.argtypes = [
+    _vp,
+    _vp, _vp,  # int32 rows, int8 coeffs (sum c+d lens)
+    _vp, _vp,  # uint8 gcos (n_pairs, 32), uint8 roles (n_pairs,)
+    _vp,       # uint64 nonces_out (n_accounts,)
+    _vp,       # uint8 unk_encs_out (n_unk, 32)
+]
+lib.xhe_blk_state_emit.restype = None

@@ -39,7 +39,15 @@ class Account:
 
 
 class Ledger:
-    """Implements BlockchainVerificationState over dicts (lib.rs:130-201)."""
+    """Implements BlockchainVerificationState over dicts (lib.rs:130-201).
+
+    ``supports_bulk_block`` opts into the native bulk state pass
+    (tx/verify._bulk_state_setup): balances are plain role-independent
+    map entries and ``set_output_ciphertext`` is a no-op, so the verifier
+    may fetch each touched (account, asset) pair once and write the final
+    balance back once instead of calling per transaction."""
+
+    supports_bulk_block = True
 
     def __init__(self, accounts: dict[CompressedPubkey, Account] | None = None):
         self.accounts = accounts or {}

@@ -1021,9 +1021,16 @@ class Accelerator:
                     _pad_rows(sig_rows, nk),
                 ]
             )
-            e_pad = max(512, _next_pow2(max(extras_rows.shape[0], f_ep)))
-            extra_pack = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
-            extra_pack[: extras_rows.shape[0]] = extras_rows
+            if isinstance(extras_rows, _np.ndarray):
+                e_floor = int(os.environ.get("XELIS_EPAD_MIN", "512"))
+                e_pad = max(e_floor, _next_pow2(max(extras_rows.shape[0], f_ep)))
+                extra_pack = _np.zeros((e_pad, 4, NLIMBS), dtype=_np.uint32)
+                extra_pack[: extras_rows.shape[0]] = extras_rows
+            else:
+                # already a (pow2-padded) device array shared by every
+                # chunk of the block — uploaded once, no per-chunk pack
+                extra_pack = extras_rows
+                e_pad = int(extras_rows.shape[0])
             blk = self._block_state()
             block_rows = blk.rows
             if block_rows is None:

@@ -719,6 +719,244 @@ def _fused_deferred(
             raise
 
 
+def _bulk_state_setup(pv, sess, state, wire_blob, accel, txs, enc, n_rows):
+    """Native bulk state pass (preverify.cpp xhe_blk_state_*): the ledger
+    bookkeeping that verify.rs:201-485 does per transaction — nonce
+    check/update, commitment-assets validation, homomorphic balance
+    updates — runs in C++ for states that opt in via
+    ``supports_bulk_block = True`` (mock.Ledger does).
+
+    Contract for opting in: ``get_account_balance`` must be a plain
+    role-independent read (the engine fetches each touched (account,
+    asset) pair once, BEFORE any mutation, and writes the final balance
+    back once), and ``set_output_ciphertext`` must not be load-bearing
+    (it is not called on this path).  States that need per-transaction
+    callbacks keep the generic per-tx path.
+
+    Returns a ctx dict (term/draw counts, the global extras device rows,
+    a writeback callable) or None to fall back to the generic path; on a
+    state-level failure (bad nonce, commitment-assets) it writes back the
+    mutations up to the failure point — reference parity, verify.rs
+    streams mutations per tx — and raises the mapped error."""
+    import numpy as np
+
+    from .. import scalars
+    from ..elgamal import (
+        DecryptHandle as _DH,
+        ElGamalCiphertext as _EC,
+        H as _H,
+        PedersenCommitment as _PC,
+        PointExpr,
+    )
+    from ..errors import DecompressionError
+    from ..pyref.ristretto import IDENTITY as _ID
+    from ..types import CompressedPubkey, Hash
+
+    L = scalars.L
+    n_txs = len(txs)
+    na_out = np.zeros(1, dtype=np.int32)
+    np_out = np.zeros(1, dtype=np.int32)
+    pv.lib.xhe_blk_state_schema(sess, na_out.ctypes.data, np_out.ctypes.data)
+    n_acc = int(na_out[0])
+    n_pairs = int(np_out[0])
+    acct_off = np.zeros(n_acc, dtype=np.uint32)
+    acct_sender = np.zeros(n_acc, dtype=np.uint8)
+    pair_acct = np.zeros(n_pairs, dtype=np.int32)
+    pair_asset_off = np.zeros(n_pairs, dtype=np.uint32)
+    pair_role = np.zeros(n_pairs, dtype=np.uint8)
+    pv.lib.xhe_blk_state_tables(
+        sess, acct_off.ctypes.data, acct_sender.ctypes.data,
+        pair_acct.ctypes.data, pair_asset_off.ctypes.data,
+        pair_role.ctypes.data,
+    )
+
+    pks = [CompressedPubkey(wire_blob[o : o + 32]) for o in acct_off.tolist()]
+    send_list = acct_sender.tolist()
+    nonces = np.zeros(n_acc, dtype=np.uint64)
+    get_nonce = state.get_account_nonce
+    for i, pk in enumerate(pks):
+        if send_list[i]:
+            nonces[i] = get_nonce(pk)
+    asset_cache: dict = {}
+    pair_assets = []
+    for o in pair_asset_off.tolist():
+        h = asset_cache.get(o)
+        if h is None:
+            h = asset_cache[o] = Hash(wire_blob[o : o + 32])
+        pair_assets.append(h)
+
+    # serialize each touched pair's INITIAL balance (fetched once)
+    extra_base = accel.block_row_base()
+    get_bal = state.get_account_balance
+    pa = pair_acct.tolist()
+    pr = pair_role.tolist()
+    parts: list[bytes] = []
+    offs = np.zeros(n_pairs + 1, dtype=np.uint64)
+    extras: list = [_ID, _H]
+    extra_ids: dict = {}
+    blob_len = 0
+    unk_cap = 0
+    for p in range(n_pairs):
+        bal = get_bal(
+            pks[pa[p]], pair_assets[p],
+            Role.RECEIVER if pr[p] else Role.SENDER,
+        )
+        ce = bal.commitment.as_expr()
+        de = bal.handle.as_expr()
+        if de.g_coeff:
+            return None  # unsupported shape: generic path
+        parts.append((ce.g_coeff % L).to_bytes(32, "little"))
+        ct, dt = ce.terms, de.terms
+        parts.append(
+            len(ct).to_bytes(2, "little") + len(dt).to_bytes(2, "little")
+        )
+        blob_len += 36
+        for coeff, atom in (*ct, *dt):
+            if coeff == 1:
+                pre = b"\x01"
+            elif coeff == -1:
+                pre = b"\xff"
+            else:
+                return None  # non-unit coefficient: generic path
+            if type(atom) is bytes:
+                parts.append(pre + b"\x01\x00\x00\x00\x00" + atom)
+                blob_len += 38
+                unk_cap += 1
+            else:
+                row = extra_ids.get(id(atom))
+                if row is None:
+                    extras.append(atom)
+                    row = extra_ids[id(atom)] = extra_base + len(extras) - 1
+                parts.append(pre + b"\x00" + row.to_bytes(4, "little"))
+                blob_len += 6
+        offs[p + 1] = blob_len
+    blob = b"".join(parts)
+
+    unk_coords = np.zeros(max(1, 128 * unk_cap), dtype=np.uint8)
+    n_unk = np.zeros(1, dtype=np.int32)
+    term_counts = np.zeros(n_txs, dtype=np.int32)
+    draw_counts = np.zeros(n_txs, dtype=np.int32)
+    first_bad = np.full(1, -1, dtype=np.int32)
+    bad_aux = np.zeros(1, dtype=np.uint64)
+    rc = pv.lib.xhe_blk_state_run(
+        sess, nonces.ctypes.data, blob, offs.ctypes.data,
+        extra_base, len(extras),
+        unk_coords.ctypes.data, unk_cap, n_unk.ctypes.data,
+        term_counts.ctypes.data, draw_counts.ctypes.data,
+        first_bad.ctypes.data, bad_aux.ctypes.data,
+    )
+
+    n_ex = len(extras)
+    unk_base = extra_base + n_ex
+
+    def writeback():
+        c_lens = np.zeros(n_pairs, dtype=np.int32)
+        d_lens = np.zeros(n_pairs, dtype=np.int32)
+        pv.lib.xhe_blk_state_sizes(sess, c_lens.ctypes.data, d_lens.ctypes.data)
+        total = int(c_lens.sum() + d_lens.sum())
+        rows = np.zeros(max(1, total), dtype=np.int32)
+        coeffs = np.zeros(max(1, total), dtype=np.int8)
+        gcos = np.zeros((max(1, n_pairs), 32), dtype=np.uint8)
+        roles = np.zeros(max(1, n_pairs), dtype=np.uint8)
+        nonces_out = np.zeros(max(1, n_acc), dtype=np.uint64)
+        nu = int(n_unk[0])
+        unk_enc = np.zeros((max(1, nu), 32), dtype=np.uint8)
+        pv.lib.xhe_blk_state_emit(
+            sess, rows.ctypes.data, coeffs.ctypes.data, gcos.ctypes.data,
+            roles.ctypes.data, nonces_out.ctypes.data, unk_enc.ctypes.data,
+        )
+        rl = rows.tolist()
+        cl = coeffs.tolist()
+        gco_b = gcos.tobytes()
+        atom_cache: dict = {}
+
+        def atom(r):
+            a = atom_cache.get(r)
+            if a is None:
+                if r < n_rows:
+                    a = enc[r].tobytes()
+                elif extra_base <= r < unk_base:
+                    a = extras[r - extra_base]
+                elif r >= unk_base:
+                    a = unk_enc[r - unk_base].tobytes()
+                else:  # padding row: never referenced by real terms
+                    raise StateError(f"dangling state term row {r}")
+                atom_cache[r] = a
+            return a
+
+        upd = state.update_account_balance
+        w = 0
+        for p in range(n_pairs):
+            cterms = []
+            for _ in range(int(c_lens[p])):
+                cterms.append((cl[w], atom(rl[w])))
+                w += 1
+            dterms = []
+            for _ in range(int(d_lens[p])):
+                dterms.append((cl[w], atom(rl[w])))
+                w += 1
+            g = int.from_bytes(gco_b[32 * p : 32 * p + 32], "little")
+            new_ct = _EC(
+                _PC(None, expr=PointExpr(tuple(cterms), g)),
+                _DH(None, expr=PointExpr(tuple(dterms))),
+            )
+            upd(
+                pks[pa[p]], pair_assets[p], new_ct,
+                Role.RECEIVER if roles[p] else Role.SENDER,
+            )
+        upd_n = state.update_account_nonce
+        nl = nonces_out.tolist()
+        for i, pk in enumerate(pks):
+            if send_list[i]:
+                upd_n(pk, nl[i])
+
+    if rc != 0:
+        if int(first_bad[0]) >= 0:
+            # failure mid-stream: keep mutations up to the failing tx
+            writeback()
+            if rc == pv.RC_NONCE:
+                tx = txs[int(first_bad[0])]
+                raise InvalidNonceError(
+                    f"expected {int(bad_aux[0])}, got {tx.nonce}"
+                )
+            if rc == pv.RC_COMMASSETS:
+                raise ProofVerificationError("format", "commitment assets")
+        if rc == pv.RC_STATE_DECOMP:
+            raise DecompressionError("invalid state ciphertext encoding")
+        return None  # init-parse shapes we don't cover: generic path
+
+    # global extras table: [identity, H, host balance atoms..., native
+    # decompressions of out-of-block encodings] — packed and uploaded ONCE
+    # per block (each chunk jit receives the same device buffer)
+    nu = int(n_unk[0])
+    e_pad = max(512, 1 << (n_ex + nu - 1).bit_length())
+    ex_rows = np.zeros((e_pad, 4, NLIMBS_), dtype=np.uint32)
+    ex_rows[:n_ex] = accel._points_to_rows(extras)
+    if nu:
+        from ..ops.fe import numpy_field
+
+        fe = numpy_field()
+        coords = unk_coords[: 128 * nu].reshape(nu, 4, 32)
+        ints = [
+            int.from_bytes(coords[j, c].tobytes(), "little")
+            for j in range(nu)
+            for c in range(4)
+        ]
+        ex_rows[n_ex : n_ex + nu] = fe.from_ints(ints).reshape(nu, 4, NLIMBS_)
+    extras_dev = ex_rows
+    if accel.backend == "jax" and os.environ.get("XELIS_EXTRAS_DEV", "1") != "0":
+        import jax.numpy as jnp
+
+        extras_dev = jnp.asarray(ex_rows)
+
+    return {
+        "term_counts": term_counts,
+        "draw_counts": draw_counts,
+        "extras_dev": extras_dev,
+        "writeback": writeback,
+    }
+
+
 def _fused_native(accel, txs, state, metrics, span):
     """Whole-block verification with the C++ pre-verify engine
     (hashcore/csrc/preverify.cpp): transaction parsing, transcript
@@ -758,6 +996,8 @@ def _fused_native(accel, txs, state, metrics, span):
             out=offs[1:],
         )
         sess = pv.lib.xhe_blk_new(n_txs, BP_GENS.party_capacity)
+    bulk_ctx = None
+    wb_done = False
     try:
         with span("verify_batch.collect"):
             lane_counts = np.zeros((n_txs, 3), dtype=np.int32)
@@ -778,8 +1018,27 @@ def _fused_native(accel, txs, state, metrics, span):
                 _get_device_pump().submit(accel._block_state().pending)
         metrics.incr("verify_batch.decompressed_points", int(n_rows))
 
+        bulk_ctx = None
+        if getattr(state, "supports_bulk_block", False) and os.environ.get(
+            "XELIS_BULK_STATE", "1"
+        ) != "0":
+            with span("verify_batch.state_native"):
+                bulk_ctx = _bulk_state_setup(
+                    pv, sess, state, wire_blob, accel, txs, enc, n_rows
+                )
+
         max_nm = 64 * int(lane_counts[:, 2].max())
-        chunk_txs = max(1, int(os.environ.get("XELIS_VERIFY_CHUNK_TXS", "256")))
+        # chunk sizing: with the bulk state pass the host gap between chunk
+        # dispatches is just the fold drain; if that gap falls under the
+        # tunnel RTT (~22 ms) the remote runtime's demand/dispatch pipeline
+        # degrades badly (measured: 4x256-tx chunks 0.51 ms/tx vs 2x500
+        # 0.21 at 1000 txs).  Keep bulk chunks >=512 txs so the fold gap
+        # stays above RTT; the generic path's Python state pass already
+        # provides the gap at 256.
+        default_chunk = "512" if bulk_ctx is not None else "256"
+        chunk_txs = max(
+            1, int(os.environ.get("XELIS_VERIFY_CHUNK_TXS", default_chunk))
+        )
         worker = _get_fold_worker()
         n_slots = worker.n_slots
         g_lanes = [np.zeros((max_nm, 32), dtype=np.uint8) for _ in range(n_slots)]
@@ -825,7 +1084,15 @@ def _fused_native(accel, txs, state, metrics, span):
             hi = min(lo + chunk_txs, n_txs)
             nc = hi - lo
             worker.begin(run_group)
-            with span("verify_batch.pre_verify"):
+            if bulk_ctx is not None:
+                # state pass already ran natively for the whole block
+                term_counts = bulk_ctx["term_counts"][lo:hi]
+                draw_counts = bulk_ctx["draw_counts"][lo:hi]
+                blob = None
+                extras = []
+                tx_offs = np.zeros(nc + 1, dtype=np.uint64)
+            else:
+              with span("verify_batch.pre_verify"):
                 # ---- state pass: nonce/balance bookkeeping + term blobs
                 parts: list[bytes] = []
                 tx_offs = np.zeros(nc + 1, dtype=np.uint64)
@@ -898,6 +1165,7 @@ def _fused_native(accel, txs, state, metrics, span):
                     tx_offs[k + 1] = blob_len
                 blob = b"".join(parts)
 
+            with span("verify_batch.prep_lanes"):
                 # ---- allocate chunk outputs, split into worker sub-groups
                 s_lanes = sigma_l[lo:hi] + term_counts
                 s_cum = np.zeros(nc + 1, dtype=np.int64)
@@ -931,7 +1199,11 @@ def _fused_native(accel, txs, state, metrics, span):
                 jobs = []
                 for k in range(n_sub):
                     slo, shi = bounds[k], bounds[k + 1]
-                    cap = int(t_cum[shi] - t_cum[slo])
+                    # bulk mode resolves every state term to a row up
+                    # front, so the fold pass never decompresses unknowns
+                    cap = 0 if bulk_ctx is not None else int(
+                        t_cum[shi] - t_cum[slo]
+                    )
                     unk = np.empty(128 * cap, dtype=np.uint8)
                     n_unk = np.zeros(1, dtype=np.int32)
                     ub = extra_base + len(extras) + unk_cum
@@ -964,28 +1236,32 @@ def _fused_native(accel, txs, state, metrics, span):
                 raise ProofVerificationError("format", f"native fold rc={bad}")
 
             with span("verify_batch.chunk_dispatch"):
-                # extras: [identity, H, host state points..., unknown-state
-                # decompressions (C++-decompressed coords)]
-                ex_rows = np.zeros(
-                    (len(extras) + unk_cum, 4, NLIMBS_), dtype=np.uint32
-                )
-                ex_rows[: len(extras)] = accel._points_to_rows(extras)
-                for k in range(n_sub):
-                    nu = int(unk_counts[k][0])
-                    if nu:
-                        base = unk_bases[k] - extra_base
-                        coords = unk_bufs[k][: 128 * nu].reshape(nu, 4, 32)
-                        from ..ops.fe import numpy_field
+                if bulk_ctx is not None:
+                    # global extras table, uploaded once per block
+                    ex_rows = bulk_ctx["extras_dev"]
+                else:
+                    # extras: [identity, H, host state points...,
+                    # unknown-state decompressions (C++ coords)]
+                    ex_rows = np.zeros(
+                        (len(extras) + unk_cum, 4, NLIMBS_), dtype=np.uint32
+                    )
+                    ex_rows[: len(extras)] = accel._points_to_rows(extras)
+                    for k in range(n_sub):
+                        nu = int(unk_counts[k][0])
+                        if nu:
+                            base = unk_bases[k] - extra_base
+                            coords = unk_bufs[k][: 128 * nu].reshape(nu, 4, 32)
+                            from ..ops.fe import numpy_field
 
-                        fe = numpy_field()
-                        ints = [
-                            int.from_bytes(coords[j, c].tobytes(), "little")
-                            for j in range(nu)
-                            for c in range(4)
-                        ]
-                        ex_rows[base : base + nu] = fe.from_ints(ints).reshape(
-                            nu, 4, NLIMBS_
-                        )
+                            fe = numpy_field()
+                            ints = [
+                                int.from_bytes(coords[j, c].tobytes(), "little")
+                                for j in range(nu)
+                                for c in range(4)
+                            ]
+                            ex_rows[base : base + nu] = fe.from_ints(
+                                ints
+                            ).reshape(nu, 4, NLIMBS_)
                 st = accel.chunk_lanes_begin_rows(
                     (sigma_sc, sigma_rows),
                     (range_sc, range_rows),
@@ -1007,6 +1283,13 @@ def _fused_native(accel, txs, state, metrics, span):
                     _get_device_pump().submit((st["sigma"], st["range"], st["r_acc"]))
             n_sigma_total += ns_c
             n_range_total += nr_c
+
+        if bulk_ctx is not None:
+            # final balances/nonces back to the state while the device
+            # crunches the dispatched chunks (one update per touched pair)
+            with span("verify_batch.state_writeback"):
+                bulk_ctx["writeback"]()
+                wb_done = True
 
         metrics.incr("verify_batch.sigma_msm_points", n_sigma_total + 2)
         metrics.incr("verify_batch.range_msm_points", n_range_total + 2 * max_nm + 2)
@@ -1066,6 +1349,12 @@ def _fused_native(accel, txs, state, metrics, span):
                 raise ProofVerificationError("generic_proof", "sigma batch")
             raise ProofVerificationError("range_proof", "batch verification equation")
         return True
+    except BaseException:
+        # reference parity on failure: pre_verify mutations stay applied
+        # (verify.rs streams them per tx; lib.rs:296 clones around this)
+        if bulk_ctx is not None and not wb_done:
+            bulk_ctx["writeback"]()
+        raise
     finally:
         pv.lib.xhe_blk_free(sess)
 
