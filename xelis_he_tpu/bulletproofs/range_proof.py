@@ -138,6 +138,52 @@ class RangeProof:
             if rc != 0:
                 raise ProofVerificationError("format", "gens msm")
             S = out.tobytes()
+        elif _prover_lib is not None and msm is multiscalar_mul:
+            # basis too large for the table registry (m > 16): still native
+            # Pippenger, with the packed basis blobs CACHED per (n, m) —
+            # per-call _pack_pt of 2nm points dominated large-m builds
+            import numpy as np
+
+            from .. import scalarops
+            from ..hashcore.curve_native import lib as _clib
+            from ..pyref.ristretto import _pack_pt, _unpack_pt
+
+            gp = np.frombuffer(
+                _packed_points(G_all), dtype=np.uint8
+            ).reshape(nm, 128)
+            hp = np.frombuffer(
+                _packed_points(H_all), dtype=np.uint8
+            ).reshape(nm, 128)
+            bb = np.frombuffer(_pack_pt(B_blinding), dtype=np.uint8)
+            bits = np.fromiter(a_L, dtype=bool, count=nm)
+            pts_a = np.empty((nm + 1, 128), dtype=np.uint8)
+            pts_a[0] = bb
+            pts_a[1:] = np.where(bits[:, None], gp, hp)
+            sc_a = np.empty((nm + 1, 32), dtype=np.uint8)
+            sc_a[0] = np.frombuffer(
+                scalarops.int_to_bytes32(a_blinding), dtype=np.uint8
+            )
+            sc_a[1:] = np.where(
+                bits[:, None],
+                np.frombuffer(scalarops.int_to_bytes32(1), dtype=np.uint8),
+                np.frombuffer(scalarops.int_to_bytes32(L - 1), dtype=np.uint8),
+            )
+            out = np.empty(128, dtype=np.uint8)
+            _clib.xhe_pt_msm(
+                sc_a.ctypes.data, pts_a.ctypes.data, nm + 1, out.ctypes.data
+            )
+            A = _unpack_pt(out.tobytes()).compress()
+            pts_s = np.empty((2 * nm + 1, 128), dtype=np.uint8)
+            pts_s[0] = bb
+            pts_s[1 : nm + 1] = gp
+            pts_s[nm + 1 :] = hp
+            sc_s = np.frombuffer(
+                scalarops.ints_to_array([s_blinding] + s_L + s_R), dtype=np.uint8
+            ).reshape(2 * nm + 1, 32)
+            _clib.xhe_pt_msm(
+                sc_s.ctypes.data, pts_s.ctypes.data, 2 * nm + 1, out.ctypes.data
+            )
+            S = _unpack_pt(out.tobytes()).compress()
         else:
             A_sc = [a_blinding]
             A_pt = [B_blinding]

@@ -576,9 +576,17 @@ void xhe_pt_msm(const uint8_t *scalars, const uint8_t *points, size_t n,
     pt_store(acc, out);
     return;
   }
-  int c = 1;
-  while ((((size_t)1) << (c + 1)) < n && c < 16) ++c;
-  if (c < 4) c = 4;
+  // window size minimizing windows * (inserts + 2*buckets): the old
+  // `2^(c+1) < n` heuristic overshot by ~2 bits at large n
+  int c = 4;
+  double bestc = 1e30;
+  for (int t = 4; t <= 16; ++t) {
+    double cost = ((253 + t - 1) / t) * ((double)n + 2.0 * (1u << t));
+    if (cost < bestc) {
+      bestc = cost;
+      c = t;
+    }
+  }
   const size_t nb = ((size_t)1) << c;
   const u64 mask = nb - 1;
   int windows = (253 + c - 1) / c;

@@ -20,6 +20,8 @@
 #include "curve25519.cpp"
 #include "scalarops.cpp"
 
+#include <thread>
+
 namespace {
 
 // pt-level Pippenger over a pointer array (mirrors xhe_pt_msm's windowing,
@@ -27,9 +29,18 @@ namespace {
 void pt_msm_core(const u64 (*sc)[4], const pt *const *pts, size_t n, pt &o) {
   pt_identity(o);
   if (n == 0) return;
-  int c = 1;
-  while ((((size_t)1) << (c + 1)) < n && c < 16) ++c;
-  if (c < 4) c = 4;
+  // window size minimizing windows * (inserts + bucket merge): the old
+  // `2^(c+1) < n` heuristic overshot by ~2 bits at large n (2^c buckets
+  // cost TWO adds each in the merge), costing ~1.5x at n=16k
+  int c = 4;
+  double best = 1e30;
+  for (int t = 4; t <= 16; ++t) {
+    double cost = ((253 + t - 1) / t) * ((double)n + 2.0 * (1u << t));
+    if (cost < best) {
+      best = cost;
+      c = t;
+    }
+  }
   const size_t nb = ((size_t)1) << c;
   const u64 mask = nb - 1;
   int windows = (253 + c - 1) / c;
@@ -123,9 +134,29 @@ inline void pt_add_pre(const pt &p, const ptp &q, pt &o) {
   fe_mul(E, H, o.T);
 }
 
+// p + (-q): -q in precomputed form swaps ypx/ymx and negates t2d, which
+// lands as an F/G swap — same 7 muls
+inline void pt_sub_pre(const pt &p, const ptp &q, pt &o) {
+  fe A, B, Cc, Dd, E, F, G, H, t1;
+  fe_sub(p.Y, p.X, t1);
+  fe_mul(t1, q.ypx, A);
+  fe_add(p.Y, p.X, t1);
+  fe_mul(t1, q.ymx, B);
+  fe_mul(p.T, q.t2d, Cc);
+  fe_mul(p.Z, q.z2, Dd);
+  fe_sub(B, A, E);
+  fe_add(Dd, Cc, F);
+  fe_sub(Dd, Cc, G);
+  fe_add(B, A, H);
+  fe_mul(E, F, o.X);
+  fe_mul(G, H, o.Y);
+  fe_mul(F, G, o.Z);
+  fe_mul(E, H, o.T);
+}
+
 struct GensTables {
   size_t n_gens;
-  ptp *tab;  // [gen][255], precomputed form
+  ptp *tab;  // [gen][128], precomputed form (signed digits use [1..128])
 };
 
 constexpr int MAX_REGISTRIES = 16;
@@ -133,17 +164,52 @@ GensTables g_registries[MAX_REGISTRIES];
 int g_n_registries = 0;
 
 // Straus MSM over registered generators: lanes are (gen index, scalar).
+// Scalars recode to SIGNED base-256 digits in [-128, 127] (canonical
+// scalars are < 2^253, so the final carry never overflows digit 31) —
+// tables shrink 2x ([1..128] per generator, 20 KB vs 41 KB), which keeps
+// the digit-indexed random reads of the hot loop closer to cache, and a
+// negative digit costs the same 7-mul pt_sub_pre.
 void straus_msm(const GensTables &gt, const uint32_t *gen_idx,
-                const u64 (*sc)[4], size_t n_lanes, pt &o) {
+                const u64 (*sc)[4], size_t n_lanes, pt &o,
+                int8_t *dig_buf) {
+  for (size_t i = 0; i < n_lanes; ++i) {
+    const uint8_t *sb = (const uint8_t *)sc[i];
+    int carry = 0;
+    int8_t *d = dig_buf + 32 * i;
+    for (int k = 0; k < 32; ++k) {
+      int v = (int)sb[k] + carry;
+      if (v >= 128) {  // digits in [-128, 127]; -128 uses table entry 128
+        v -= 256;
+        carry = 1;
+      } else {
+        carry = 0;
+      }
+      d[k] = (int8_t)v;
+    }
+  }
   pt acc;
   pt_identity(acc);
+  constexpr size_t PF = 4;  // table reads are random over ~20 MB: prefetch
   for (int w = 31; w >= 0; --w) {
     for (int k = 0; k < 8; ++k) pt_dbl(acc, acc);
     for (size_t i = 0; i < n_lanes; ++i) {
-      u64 digit = (sc[i][w >> 3] >> ((w & 7) * 8)) & 0xFF;
-      if (!digit) continue;
+      if (i + PF < n_lanes) {
+        int dp = dig_buf[32 * (i + PF) + w];
+        if (dp) {
+          int ap = dp > 0 ? dp : -dp;
+          const char *e = (const char *)&gt.tab[(size_t)gen_idx[i + PF] * 128 + ap - 1];
+          __builtin_prefetch(e);
+          __builtin_prefetch(e + 64);
+          __builtin_prefetch(e + 128);
+        }
+      }
+      int d = dig_buf[32 * i + w];
+      if (!d) continue;
       pt t;
-      pt_add_pre(acc, gt.tab[(size_t)gen_idx[i] * 255 + digit - 1], t);
+      if (d > 0)
+        pt_add_pre(acc, gt.tab[(size_t)gen_idx[i] * 128 + d - 1], t);
+      else
+        pt_sub_pre(acc, gt.tab[(size_t)gen_idx[i] * 128 + (-d) - 1], t);
       acc = t;
     }
   }
@@ -162,11 +228,15 @@ struct IppState {
   pt *H;
   pt Q;
   int gens_id;   // table registry id, or -1 (pointer-Pippenger fallback)
-  // scratch reused across rounds
+  // scratch reused across rounds (two independent halves: the L and R
+  // sides run on separate threads)
   u64 (*sc_buf)[4];
   const pt **pt_buf;
   uint32_t *idx_buf;
+  int8_t *dig_buf;
 };
+
+int g_ipp_threads = 2;  // xhe_ipp_set_threads
 
 // fold state with challenge u after round ``r`` has been emitted
 void ipp_fold(IppState *s, const uint8_t *u_bytes, size_t r) {
@@ -211,14 +281,14 @@ int xhe_ipp_gens_register(size_t n, const uint8_t *Gp, const uint8_t *Hp) {
   if (g_n_registries >= MAX_REGISTRIES || n == 0 || n > 1024) return -1;
   GensTables &gt = g_registries[g_n_registries];
   gt.n_gens = 2 * n;
-  gt.tab = new ptp[gt.n_gens * 255];
+  gt.tab = new ptp[gt.n_gens * 128];
   for (size_t g = 0; g < gt.n_gens; ++g) {
     pt base, run;
     pt_load((g < n ? Gp + 128 * g : Hp + 128 * (g - n)), base);
-    ptp *row = gt.tab + g * 255;
+    ptp *row = gt.tab + g * 128;
     run = base;
     pt_precompute(run, row[0]);
-    for (int k = 1; k < 255; ++k) {
+    for (int k = 1; k < 128; ++k) {
       pt t;
       pt_add(run, base, t);
       run = t;
@@ -245,8 +315,10 @@ int xhe_gens_msm(int gens_id, const uint32_t *gen_idx, const uint8_t *sc,
     }
     load(sc + 32 * i, scv[i]);
   }
+  int8_t *dig = new int8_t[32 * n_lanes];
   pt acc;
-  straus_msm(gt, gen_idx, scv, n_lanes, acc);
+  straus_msm(gt, gen_idx, scv, n_lanes, acc, dig);
+  delete[] dig;
   delete[] scv;
   for (size_t j = 0; j < n_extra; ++j) {
     uint8_t rb[128];
@@ -284,9 +356,10 @@ void *xhe_ipp_new(size_t n, int gens_id, const uint8_t *Gp, const uint8_t *Hp,
                 g_registries[gens_id].n_gens == 2 * n)
                    ? gens_id
                    : -1;
-  s->sc_buf = new u64[n + 1][4];
-  s->pt_buf = new const pt *[n + 1];
-  s->idx_buf = new uint32_t[n + 1];
+  s->sc_buf = new u64[2 * (n + 1)][4];
+  s->pt_buf = new const pt *[2 * (n + 1)];
+  s->idx_buf = new uint32_t[2 * (n + 1)];
+  s->dig_buf = new int8_t[2 * 32 * (n + 1)];
   for (size_t i = 0; i < n; ++i) {
     load(a + 32 * i, s->a[i]);
     load(b + 32 * i, s->b[i]);
@@ -330,12 +403,16 @@ int xhe_ipp_round(void *handle, const uint8_t *u_prev, uint8_t *L_out,
   }
 
   // L = <a_L, G'_hi> + <b_R, H'_lo> + c_L*Q over the original basis;
-  // R = <a_R, G'_lo> + <b_L, H'_hi> + c_R*Q
-  u64(*sc)[4] = s->sc_buf;
-  const pt **pp = s->pt_buf;
-  uint32_t *gi = s->idx_buf;
+  // R = <a_R, G'_lo> + <b_L, H'_hi> + c_R*Q.  The two sides are
+  // independent (read-only on the session, own scratch halves) and run
+  // on two threads unless xhe_ipp_set_threads(1) — build_batch callers
+  // already saturate the cores with per-tx workers.
   pt L_pt, R_pt;
-  for (int side = 0; side < 2; ++side) {
+  auto emit_side = [&](int side) {
+    u64(*sc)[4] = s->sc_buf + (size_t)side * (s->n + 1);
+    const pt **pp = s->pt_buf + (size_t)side * (s->n + 1);
+    uint32_t *gi = s->idx_buf + (size_t)side * (s->n + 1);
+    int8_t *dig = s->dig_buf + (size_t)side * 32 * (s->n + 1);
     size_t cnt = 0;
     for (size_t i = 0; i < s->n; ++i) {
       size_t logical = i & (2 * n_r - 1);
@@ -366,7 +443,7 @@ int xhe_ipp_round(void *handle, const uint8_t *u_prev, uint8_t *L_out,
     pt &out = side == 0 ? L_pt : R_pt;
     const u64 *cQ = side == 0 ? c_L : c_R;
     if (s->gens_id >= 0) {
-      straus_msm(g_registries[s->gens_id], gi, sc, cnt, out);
+      straus_msm(g_registries[s->gens_id], gi, sc, cnt, out, dig);
       // + c*Q (Q = w*B varies per proof — not table-able)
       uint8_t kb[32], qb[128], rb[128];
       store(kb, cQ);
@@ -382,6 +459,14 @@ int xhe_ipp_round(void *handle, const uint8_t *u_prev, uint8_t *L_out,
       ++cnt;
       pt_msm_core(sc, pp, cnt, out);
     }
+  };
+  if (g_ipp_threads > 1) {
+    std::thread t0(emit_side, 0);
+    emit_side(1);
+    t0.join();
+  } else {
+    emit_side(0);
+    emit_side(1);
   }
   uint8_t packed[128];
   pt_store(L_pt, packed);
@@ -418,7 +503,12 @@ void xhe_ipp_free(void *handle) {
   delete[] s->sc_buf;
   delete[] s->pt_buf;
   delete[] s->idx_buf;
+  delete[] s->dig_buf;
   delete s;
 }
+
+// Inner parallelism of the IPP rounds (L/R sides).  build_batch sets 1 in
+// its workers (outer per-tx threads already saturate the cores).
+void xhe_ipp_set_threads(int n) { g_ipp_threads = n > 1 ? n : 1; }
 
 }  // extern "C"

@@ -25,7 +25,10 @@ def _build() -> pathlib.Path:
         return _LIB
     with tempfile.NamedTemporaryFile(dir=_DIR, suffix=".so", delete=False) as tmp:
         tmp_path = pathlib.Path(tmp.name)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC), "-o", str(tmp_path)]
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+        str(_SRC), "-o", str(tmp_path),
+    ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)
     except Exception:
@@ -69,3 +72,6 @@ lib.xhe_ipp_final.restype = ctypes.c_int
 
 lib.xhe_ipp_free.argtypes = [_vp]
 lib.xhe_ipp_free.restype = None
+
+lib.xhe_ipp_set_threads.argtypes = [ctypes.c_int]
+lib.xhe_ipp_set_threads.restype = None

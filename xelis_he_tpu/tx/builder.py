@@ -401,9 +401,21 @@ def build_batch(jobs, n_threads: int | None = None) -> list[Transaction]:
     jobs = list(jobs)
     if n_threads <= 1 or len(jobs) < 2:
         return [b.build(s, k) for b, s, k in jobs]
-    first = jobs[0][0].build(jobs[0][1], jobs[0][2])
-    with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
-        rest = list(ex.map(lambda j: j[0].build(j[1], j[2]), jobs[1:]))
+    # per-tx workers saturate the cores: turn off the IPP session's inner
+    # L/R-side threading for the duration (process-global toggle)
+    try:
+        from ..hashcore.prover_native import lib as _plib
+    except Exception:  # pragma: no cover - native build unavailable
+        _plib = None
+    if _plib is not None:
+        _plib.xhe_ipp_set_threads(1)
+    try:
+        first = jobs[0][0].build(jobs[0][1], jobs[0][2])
+        with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
+            rest = list(ex.map(lambda j: j[0].build(j[1], j[2]), jobs[1:]))
+    finally:
+        if _plib is not None:
+            _plib.xhe_ipp_set_threads(2)
     return [first, *rest]
 
 
