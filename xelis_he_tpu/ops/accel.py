@@ -216,12 +216,38 @@ class Accelerator:
             return msm_windowed_lanes_pallas
         return self.engine.msm_daa_lanes
 
+    def _lanes_fn_k4(self):
+        """Quad-packed lanes kernel (or its shard_mapped form)."""
+        if self.mesh is not None:
+            from .pallas_msm import make_sharded_lanes_fn_k4
+
+            fn = getattr(self, "_sharded_lanes_k4", None)
+            if fn is None:
+                fn = self._sharded_lanes_k4 = make_sharded_lanes_fn_k4(self.mesh)
+            return fn
+        from .pallas_msm import msm_windowed_lanes_pallas_k4
+
+        return msm_windowed_lanes_pallas_k4
+
+    @property
+    def use_quad(self) -> bool:
+        """Quad-packed lanes kernel (4 scalar-muls share one accumulator's
+        doubling chain — measured 369 vs 233 kpts/s): on by default on the
+        Pallas path, XELIS_QUAD_LANES=0 reverts to single-lane."""
+        if not self.use_pallas:
+            return False
+        return os.environ.get("XELIS_QUAD_LANES", "1") != "0"
+
     def _pallas_lane_granules(self):
         """(group granule, signature granule): each lane GROUP must split
-        into TILE-aligned shards across the mesh."""
-        from .pallas_msm import TILE
+        into TILE-aligned shards across the mesh.  Quad packing needs lane
+        groups of 4*TILE (4 lanes per slot, TILE-aligned slot groups for
+        the tile-sum reduction) and QTILE-aligned signature slot counts."""
+        from .pallas_msm import QTILE, TILE
 
         d = self.mesh.devices.size if self.mesh is not None else 1
+        if self.use_quad:
+            return d * 4 * TILE, d * QTILE
         return d * TILE, d * TILE // 2
 
     def _bits_for(self, scalars):
@@ -817,7 +843,8 @@ class Accelerator:
             return fn
 
         curve = self.curve
-        lanes_fn = self._lanes_fn()
+        use_quad = self.use_quad
+        lanes_fn = self._lanes_fn_k4() if use_quad else self._lanes_fn()
         use_pallas = self.use_pallas
 
         def _run_chunk(block_rows, extra_rows, idx, scal):
@@ -834,6 +861,67 @@ class Accelerator:
                 bits = decompose_bits_xp(scal, xp)
             rows = _gather_rows(xp, (block_rows, extra_rows), idx)
             points = tuple(rows[:, c, :] for c in range(4))
+            if use_quad:
+                from .pallas_msm import TILE, tile_sums_pallas
+
+                # quad packing (device-side reshape): slot s of the
+                # sigma/range groups sums lanes 4s..4s+3; each signature's
+                # (s*H, -e*P) pair packs into ONE slot whose output is its
+                # R point directly (subs 2/3 carry zero digits)
+                gr = ns + nr
+                p4 = tuple(
+                    xp.stack([c[k:gr:4] for k in range(4)], axis=0)
+                    for c in points
+                )
+                d4 = xp.stack([bits[:, k:gr:4] for k in range(4)], axis=0)
+                if nk:
+                    zero_d = xp.full((64, nk), 8, dtype=bits.dtype)
+                    p4 = tuple(
+                        xp.concatenate(
+                            [
+                                a,
+                                xp.stack(
+                                    [
+                                        c[gr : gr + nk],
+                                        c[gr + nk : gr + 2 * nk],
+                                        c[gr : gr + nk],
+                                        c[gr : gr + nk],
+                                    ],
+                                    axis=0,
+                                ),
+                            ],
+                            axis=1,
+                        )
+                        for a, c in zip(p4, points)
+                    )
+                    d4 = xp.concatenate(
+                        [
+                            d4,
+                            xp.stack(
+                                [
+                                    bits[:, gr : gr + nk],
+                                    bits[:, gr + nk : gr + 2 * nk],
+                                    zero_d,
+                                    zero_d,
+                                ],
+                                axis=0,
+                            ),
+                        ],
+                        axis=2,
+                    )
+                acc = lanes_fn(p4, d4)  # (S1+S2+nk slots, 18) x4
+                s1, s2 = ns // 4, nr // 4
+                sums = tile_sums_pallas(tuple(c[: s1 + s2] for c in acc))
+                sigma = _tree_reduce_group(curve, sums, 0, s1 // TILE)
+                rng = _tree_reduce_group(curve, sums, s1 // TILE, s2 // TILE)
+                out_sigma = xp.stack(sigma, axis=0)
+                out_rng = xp.stack(rng, axis=0)
+                if nk:
+                    r = tuple(c[s1 + s2 :] for c in acc)
+                    r_acc = xp.stack(r, axis=1)  # (nk, 4, 18)
+                else:
+                    r_acc = xp.zeros((0, 4, NLIMBS), dtype=xp.uint32)
+                return out_sigma, out_rng, r_acc
             acc = lanes_fn(points, bits)  # [sigma | range | sig_s | sig_e]
             if use_pallas:
                 from .pallas_msm import TILE, tile_sums_pallas
@@ -1067,7 +1155,8 @@ class Accelerator:
             return fn
 
         curve = self.curve
-        lanes_fn = self._lanes_fn()
+        use_quad = self.use_quad
+        lanes_fn = self._lanes_fn_k4() if use_quad else self._lanes_fn()
         use_pallas = self.use_pallas
 
         def _run_final(sigma_parts, range_parts, r_accs,
@@ -1090,14 +1179,29 @@ class Accelerator:
             )
             rows = _gather_rows(xp, (block_rows, gens_rows, extra_rows), idx)
             points = tuple(rows[:, c, :] for c in range(4))
-            acc = lanes_fn(points, bits)  # shared lanes [sigma_s | range_s]
-            if use_pallas:
+            if use_quad:
                 from .pallas_msm import TILE, tile_sums_pallas
 
+                gr = ns_s + nr_s
+                p4 = tuple(
+                    xp.stack([c[k:gr:4] for k in range(4)], axis=0)
+                    for c in points
+                )
+                d4 = xp.stack([bits[:, k:gr:4] for k in range(4)], axis=0)
+                acc = lanes_fn(p4, d4)
+                s1, s2 = ns_s // 4, nr_s // 4
+                sums = tile_sums_pallas(acc)
+                sigma_sh = _tree_reduce_group(curve, sums, 0, s1 // TILE)
+                rng_sh = _tree_reduce_group(curve, sums, s1 // TILE, s2 // TILE)
+            elif use_pallas:
+                from .pallas_msm import TILE, tile_sums_pallas
+
+                acc = lanes_fn(points, bits)  # shared [sigma_s | range_s]
                 sums = tile_sums_pallas(acc)
                 sigma_sh = _tree_reduce_group(curve, sums, 0, ns_s // TILE)
                 rng_sh = _tree_reduce_group(curve, sums, ns_s // TILE, nr_s // TILE)
             else:
+                acc = lanes_fn(points, bits)
                 sigma_sh = _tree_reduce_group(curve, acc, 0, ns_s)
                 rng_sh = _tree_reduce_group(curve, acc, ns_s, nr_s)
             # fold in the per-chunk partials: C+1 lanes per group

@@ -1006,6 +1006,146 @@ def msm_windowed_lanes_pallas(points, digits, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# quad-lane windowed kernel: 4 scalar-muls share one accumulator
+# ---------------------------------------------------------------------------
+#
+# The per-lane windowed kernel pays ~253 accumulator doublings per scalar
+# regardless of window width — the doubling chain dominates (4 dbl + 1 add
+# per window).  Packing FOUR (scalar, point) pairs into one slot shares
+# the chain: each window costs 4 doubles + 4 table-adds for 4 points,
+# i.e. ~16 vs ~35 field-mul-equivalents per point per window (~2x less
+# VPU work).  The slot output is the SUM of its 4 muls — exactly what the
+# verification mega-MSMs reduce to anyway, and a Schnorr lane pair
+# (s*H, -e*P) packed into one slot yields its R point directly.
+
+K_PACK = 4
+QTILE = 256  # narrower tile: 4 tables (8 entries x 4 coords x 18 rows)
+             # plus live point temporaries must stay inside VMEM
+
+
+def _windowed_kernel_k4(consts_ref, digits_ref, pts_ref, out_ref):
+    """out[slot] = sum_k s[k][slot] * P[k][slot] for k in 0..3.
+
+    digits_ref: (4*64, T) u32 — sub k's signed digits at rows 64k..64k+63.
+    pts_ref: (4*72, T) u32 — sub k's [X; Y; Z; T] limbs at rows 72k...
+    out_ref: (72, T) u32.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    T = pts_ref.shape[1]
+    d2_col = consts_ref[0:NLIMBS, :]
+    pad = consts_ref[NLIMBS : 2 * NLIMBS, :]
+    bump = consts_ref[2 * NLIMBS : 3 * NLIMBS, :]
+    consts = (d2_col, pad, bump)
+
+    tables = []
+    for k in range(K_PACK):
+        base = tuple(
+            pts_ref[4 * NLIMBS * k + c * NLIMBS : 4 * NLIMBS * k + (c + 1) * NLIMBS, :]
+            for c in range(4)
+        )
+        t1 = base
+        t2 = _point_double_t(t1, jnp, consts)
+        t3 = _point_add_t(t2, t1, jnp, consts)
+        t4 = _point_double_t(t2, jnp, consts)
+        t5 = _point_add_t(t4, t1, jnp, consts)
+        t6 = _point_double_t(t3, jnp, consts)
+        t7 = _point_add_t(t6, t1, jnp, consts)
+        t8 = _point_double_t(t4, jnp, consts)
+        tables.append((t1, t2, t3, t4, t5, t6, t7, t8))
+
+    ident = _identity_cols(T, jnp)
+
+    def step(kk, acc):
+        w = N_WINDOWS - 1 - kk
+        acc = _point_double_t(acc, jnp, consts, want_t=False)
+        acc = _point_double_t(acc, jnp, consts, want_t=False)
+        acc = _point_double_t(acc, jnp, consts, want_t=False)
+        acc = _point_double_t(acc, jnp, consts, want_t=True)
+        for k in range(K_PACK):
+            e = digits_ref[pl_ds(N_WINDOWS * k + w), :]
+            val = e.astype(jnp.int32) - 8
+            neg = (val < 0).astype(jnp.uint32)
+            k_abs = jnp.where(val < 0, -val, val).astype(jnp.uint32)
+            sel = ident
+            for idx, entry in enumerate(tables[k]):
+                sel = _point_select_t(k_abs == jnp.uint32(idx + 1), entry, sel, jnp)
+            sx, sy, sz, st = sel
+            sel = (
+                _select_t(neg, _neg_t(sx, jnp, consts), sx, jnp),
+                sy,
+                sz,
+                _select_t(neg, _neg_t(st, jnp, consts), st, jnp),
+            )
+            acc = _point_add_t(acc, sel, jnp, consts)
+        return acc
+
+    acc = jax.lax.fori_loop(0, N_WINDOWS, step, ident)
+    out_ref[:] = jnp.concatenate(list(acc), axis=0)
+
+
+@functools.lru_cache(maxsize=8)
+def _windowed_call_k4(n_slots: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tile = min(QTILE, n_slots)
+    assert n_slots % tile == 0
+    grid = (n_slots // tile,)
+
+    return pl.pallas_call(
+        _windowed_kernel_k4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((CONSTS_ROWS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (K_PACK * N_WINDOWS, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (K_PACK * 4 * NLIMBS, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (4 * NLIMBS, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4 * NLIMBS, n_slots), jnp.uint32),
+        interpret=interpret,
+    )
+
+
+def msm_windowed_lanes_pallas_k4(points4, digits4, interpret: bool = False):
+    """Quad-packed windowed lanes: out[slot] = sum of 4 scalar-muls.
+
+    points4: tuple (X, Y, Z, T) each (4, S, 18) uint32 — sub k's points in
+    row k; digits4: (4, 64, S) uint32.  Returns tuple-of-(S, 18) slot sums.
+    """
+    import jax.numpy as jnp
+
+    s = points4[0].shape[1]
+    # (4, S, 18) -> rows [72k + 18c] x S
+    stacked = jnp.concatenate(
+        [
+            jnp.transpose(points4[c][k], (1, 0))
+            for k in range(K_PACK)
+            for c in range(4)
+        ],
+        axis=0,
+    )
+    dig = jnp.concatenate([digits4[k] for k in range(K_PACK)], axis=0)
+    tile = min(QTILE, s)
+    consts = jnp.asarray(
+        jnp.broadcast_to(jnp.asarray(_consts_array()), (CONSTS_ROWS, tile))
+    )
+    out = _windowed_call_k4(s, _want_interpret(interpret))(consts, dig, stacked)
+    return tuple(
+        jnp.transpose(out[c * NLIMBS : (c + 1) * NLIMBS, :], (1, 0)) for c in range(4)
+    )
+
+
+# ---------------------------------------------------------------------------
 # multi-chip: lanes shard_mapped over a 1-D mesh (SURVEY.md §2.4 — MSM
 # sharding is this domain's tensor parallelism)
 # ---------------------------------------------------------------------------
@@ -1037,6 +1177,38 @@ def make_sharded_lanes_fn(mesh, interpret: bool = False):
         in_specs=(
             (P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
             P(None, axis),
+        ),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+
+def make_sharded_lanes_fn_k4(mesh, interpret: bool = False):
+    """Quad-packed lanes kernel shard_mapped over ``mesh``'s first axis:
+    SLOTS shard across devices (points4 (4, S, 18) on axis 1, digits4
+    (4, 64, S) on axis 2); per-slot sums all_gathered as in the
+    single-lane variant.  Callers pad so S divides by mesh_size*TILE."""
+    import jax
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def _local(points4, digits4):
+        acc = msm_windowed_lanes_pallas_k4(points4, digits4, interpret=interpret)
+        return tuple(lax.all_gather(c, axis, axis=0, tiled=True) for c in acc)
+
+    return jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(
+            (
+                P(None, axis, None),
+                P(None, axis, None),
+                P(None, axis, None),
+                P(None, axis, None),
+            ),
+            P(None, None, axis),
         ),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,

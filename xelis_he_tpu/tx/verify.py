@@ -1392,13 +1392,21 @@ def verify_batch(
 
     metrics.incr("verify_batch.txs", len(txs))
     if accel is not None and txs:
-        # small-batch crossover: below ~32 txs the device pipeline is
-        # dominated by dispatch + sync latency (~45 ms single-tx on a
-        # tunneled chip) while the host C++ Pippenger serves the whole
-        # block in ~1-5 ms — route small blocks there (measured crossover
-        # between 16 and 64 txs; see PERF_NOTES.md round 4)
+        # small-block crossover: below ~32 single-transfer txs the device
+        # pipeline is dominated by dispatch + sync latency (~45 ms
+        # single-tx on a tunneled chip) while the host C++ Pippenger
+        # serves the whole block in ~1-5 ms.  The threshold counts WORK
+        # (commitments + transfers), not transactions: a 16x255
+        # aggregation block is ~4096 units of MSM work and verifies 3x
+        # faster on the device (19 vs 63 ms/tx measured round 4).
         if len(txs) <= int(os.environ.get("XELIS_HOST_VERIFY_MAX", "32")):
-            accel = None
+            units = sum(
+                len(tx.new_source_commitments)
+                + (len(tx.data) if isinstance(tx.data, list) else 0)
+                for tx in txs
+            )
+            if units <= int(os.environ.get("XELIS_HOST_VERIFY_UNITS", "64")):
+                accel = None
     if accel is not None and txs:
         # native block engine first: C++ parse/transcript/fold, Python only
         # state bookkeeping.  Returns False (before any state mutation) for
