@@ -166,6 +166,39 @@ def main():
             print(json.dumps(rec), flush=True)
         os.environ.pop("XELIS_FOLD_THREADS", None)
 
+    # T. tunnel-cost control (VERDICT r3 #7): the fixed host<->device
+    # round-trip and small-transfer cost on this backend, so readers can
+    # separate engine cost from tunnel artifact in every small-batch row
+    # (on the remote axon platform the RTT is ~20-100 ms and is
+    # load-bearing in single-tx/small-batch numbers).
+    if "T" in sections and args.backend == "jax":
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        x1 = jnp.zeros((8,), dtype=jnp.uint32)
+        np.asarray(x1 + 1)  # warm the trivial program
+        rtts = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            np.asarray(x1 + 1)
+            rtts.append(time.perf_counter() - t0)
+        rtts.sort()
+        xb = jnp.zeros((1024, 1024), dtype=jnp.uint32)  # 4 MB
+        np.asarray(xb + 1)
+        t0 = time.perf_counter()
+        np.asarray(xb + 1)
+        big = time.perf_counter() - t0
+        rec = {
+            "config": "tunnel_control",
+            "rtt_ms_p50": round(rtts[len(rtts) // 2] * 1000, 1),
+            "rtt_ms_best": round(rtts[0] * 1000, 1),
+            "pull_4mb_ms": round(big * 1000, 1),
+            "implied_bw_MBps": round(4.0 / max(big - rtts[0], 1e-9), 0),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -42,6 +42,29 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+_CODE_SALT: str | None = None
+
+
+def _code_salt() -> str:
+    """Content hash of the compute-path modules: a code edit must not let a
+    stale exported module (keyed only by shapes) serve the OLD program."""
+    global _CODE_SALT
+    if _CODE_SALT is None:
+        import hashlib
+        import pathlib
+
+        h = hashlib.sha256()
+        here = pathlib.Path(__file__).parent
+        for name in ("accel.py", "pallas_msm.py", "curve.py", "fe.py",
+                     "msm.py"):
+            try:
+                h.update((here / name).read_bytes())
+            except OSError:
+                h.update(name.encode())
+        _CODE_SALT = h.hexdigest()[:16]
+    return _CODE_SALT
+
+
 def _gather_rows(xp, tables, idx):
     """Gather (n, 4, NLIMBS) point rows addressed by ``idx`` from the
     logical concatenation of ``tables`` WITHOUT materializing the concat —
@@ -160,7 +183,9 @@ class Accelerator:
                         [flat, valid[:, None].astype(flat.dtype)], axis=1
                     )
 
-                self._decompress_packed_jit = jax.jit(_decompress_packed_pl)
+                self._decompress_packed_jit = self._export_dispatch(
+                    "decomp_pl", jax.jit(_decompress_packed_pl)
+                )
             else:
                 self._compress_jit = jax.jit(self.curve.compress)
 
@@ -177,7 +202,9 @@ class Accelerator:
                         [flat, valid[:, None].astype(flat.dtype)], axis=1
                     )
 
-                self._decompress_packed_jit = jax.jit(_decompress_packed)
+                self._decompress_packed_jit = self._export_dispatch(
+                    "decomp_jnp", jax.jit(_decompress_packed)
+                )
         else:
             self.use_pallas = False
             self.curve = numpy_curve()
@@ -833,8 +860,80 @@ class Accelerator:
     # (G/H collector slots, Pedersen bases, BP generators) and packs flags +
     # signature R bytes — the whole block still costs ONE host sync.
 
+    def _export_cached(self, key, jit_fn):
+        """Wrap a jit with a DISK-cached jax.export module.
+
+        Cold warmup pays ~10-20 s of Python trace + StableHLO lowering per
+        fused program even when the persistent XLA compile cache hits
+        (PERF_NOTES: the r1 '<60 s cold' ask).  jax.export serializes the
+        traced module; later processes deserialize (~0.1 s) and go
+        straight to XLA, which hits the compile cache.  First call with no
+        cache file exports (same cost as before) and persists.  Mesh paths
+        keep plain jit (exported shardings would pin a mesh identity);
+        XELIS_EXPORT_CACHE=0 disables."""
+        import jax
+
+        if (
+            self.mesh is not None
+            or self.backend != "jax"
+            or os.environ.get("XELIS_EXPORT_CACHE", "1") == "0"
+        ):
+            return jit_fn
+        import hashlib
+        import pathlib
+
+        root = pathlib.Path(
+            os.environ.get(
+                "XELIS_CACHE_DIR", os.path.expanduser("~/.cache/xelis_he_tpu")
+            )
+        ) / "export"
+        tag = hashlib.sha256(
+            repr(
+                (key, jax.__version__, jax.default_backend(), _code_salt())
+            ).encode()
+        ).hexdigest()[:32]
+        path = root / f"{tag}.jaxexp"
+        holder: dict = {}
+
+        def call(*args):
+            fn = holder.get("fn")
+            if fn is None:
+                if path.exists():
+                    try:
+                        fn = jax.export.deserialize(path.read_bytes()).call
+                    except Exception:  # stale/corrupt: re-export
+                        fn = None
+                if fn is None:
+                    exp = jax.export.export(jit_fn)(*args)
+                    try:
+                        root.mkdir(parents=True, exist_ok=True)
+                        tmp = path.with_suffix(".tmp%d" % os.getpid())
+                        tmp.write_bytes(exp.serialize())
+                        os.replace(tmp, path)
+                    except Exception:  # cache write is best-effort
+                        pass
+                    fn = exp.call
+                holder["fn"] = fn
+            return fn(*args)
+
+        return call
+
+    def _export_dispatch(self, tag: str, jit_fn):
+        """Per-input-shape export-cache dispatcher for shape-polymorphic
+        jits (the decompress program compiles per pow2 bucket)."""
+        cache: dict = {}
+
+        def call(data):
+            k = (tag, tuple(data.shape))
+            fn = cache.get(k)
+            if fn is None:
+                fn = cache[k] = self._export_cached(k, jit_fn)
+            return fn(data)
+
+        return call
+
     def _chunk_fn(self, ns: int, nr: int, nk: int, m_block: int, e_pad: int):
-        key = ("chunk", ns, nr, nk, m_block, e_pad)
+        key = ("chunk", ns, nr, nk, m_block, e_pad, self.use_quad)
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
@@ -955,7 +1054,10 @@ class Accelerator:
                 # the final jit rejects the mismatch.
                 repl = shardings[0]
                 out_sh = (repl, repl, repl)
-            fn = jax.jit(_run_chunk, in_shardings=shardings, out_shardings=out_sh)
+            fn = self._export_cached(
+                key, jax.jit(_run_chunk, in_shardings=shardings,
+                             out_shardings=out_sh)
+            )
         else:
             fn = _run_chunk
         cache[key] = fn
@@ -1146,7 +1248,8 @@ class Accelerator:
 
     def _final_fn(self, n_chunks: int, nk_tuple: tuple, ns_s: int, nr_s: int,
                   m_block: int, k_gens: int, e_pad: int):
-        key = ("final", n_chunks, nk_tuple, ns_s, nr_s, m_block, k_gens, e_pad)
+        key = ("final", n_chunks, nk_tuple, ns_s, nr_s, m_block, k_gens,
+               e_pad, self.use_quad)
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
@@ -1246,7 +1349,7 @@ class Accelerator:
             import jax
 
             shardings = self._final_shardings(n_chunks, len(nk_tuple))
-            fn = jax.jit(_run_final, in_shardings=shardings)
+            fn = self._export_cached(key, jax.jit(_run_final, in_shardings=shardings))
         else:
             fn = _run_final
         cache[key] = fn
