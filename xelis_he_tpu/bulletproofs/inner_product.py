@@ -97,6 +97,8 @@ class InnerProductProof:
         b_vec: list[int],
         msm=multiscalar_mul,
     ) -> "InnerProductProof":
+        import numpy as np
+
         n = len(G_vec)
         assert n and (n & (n - 1)) == 0, "n must be a power of two"
         assert len(H_vec) == len(a_vec) == len(b_vec) == len(G_factors) == len(H_factors) == n
@@ -105,12 +107,19 @@ class InnerProductProof:
 
         lg_n = n.bit_length() - 1
 
+        def _as_sc_bytes(v):
+            """(n, 32) scalar blob from either a canonical scalar ARRAY
+            (prove_multiple's batched path) or a list of ints."""
+            if isinstance(v, np.ndarray):
+                return v.tobytes()
+            from .. import scalarops
+
+            return scalarops.ints_to_array([x % L for x in v]).tobytes()
+
         if _prover_lib is not None and n >= 2:
             # native session: generators/coefficients stay resident in C++,
             # Python relays only L/R bytes and challenges (byte-exact)
             import ctypes
-
-            import numpy as np
 
             from .. import scalarops
             from ..pyref.ristretto import _pack_pt
@@ -123,10 +132,10 @@ class InnerProductProof:
                 gp,
                 hp,
                 _pack_pt(Q),
-                scalarops.ints_to_array([x % L for x in G_factors]).tobytes(),
-                scalarops.ints_to_array([x % L for x in H_factors]).tobytes(),
-                scalarops.ints_to_array([x % L for x in a_vec]).tobytes(),
-                scalarops.ints_to_array([x % L for x in b_vec]).tobytes(),
+                _as_sc_bytes(G_factors),
+                _as_sc_bytes(H_factors),
+                _as_sc_bytes(a_vec),
+                _as_sc_bytes(b_vec),
             )
             if handle:
                 try:
@@ -158,13 +167,20 @@ class InnerProductProof:
                 finally:
                     _prover_lib.xhe_ipp_free(handle)
 
-        a = [x % L for x in a_vec]
-        b = [x % L for x in b_vec]
+        from .. import scalarops as _so
+
+        def _as_ints(v):
+            return _so.array_to_ints(v) if isinstance(v, np.ndarray) else [
+                x % L for x in v
+            ]
+
+        a = _as_ints(a_vec)
+        b = _as_ints(b_vec)
         # Fold coefficients of the current (logical) G'/H' vectors over the
         # original generator basis.  Initialized with the first-round factors
         # (dalek folds G_factors/H_factors into round one).
-        wg = [x % L for x in G_factors]
-        wh = [x % L for x in H_factors]
+        wg = _as_ints(G_factors)
+        wh = _as_ints(H_factors)
 
         L_out: list[bytes] = []
         R_out: list[bytes] = []

@@ -204,20 +204,32 @@ class RangeProof:
         z = transcript.challenge_scalar(b"z")
         zz = z * z % L
 
-        # l(X) and r(X) polynomial vectors
-        y_pow = exp_iter(y, nm)
-        z_pow = exp_iter(z, m)
-        l0 = [(a_L[i] - z) % L for i in range(nm)]
-        l1 = s_L
-        r0 = [
-            (y_pow[i] * ((a_L[i] - 1 + z) % L) + zz * z_pow[i // n] % L * (1 << (i % n))) % L
-            for i in range(nm)
-        ]
-        r1 = [y_pow[i] * s_R[i] % L for i in range(nm)]
+        # l(X) and r(X) polynomial vectors — batched mod-L array ops (one
+        # GIL-releasing C++ call each): the Python int comprehensions here
+        # were ~100 ms/tx GIL-HELD at nm=16384, serializing build_batch's
+        # workers (the round-4 16x255 build profile)
+        from .. import scalarops as so
+        import numpy as np
 
-        t0 = inner_product(l0, r0)
-        t1 = (inner_product(l0, r1) + inner_product(l1, r0)) % L
-        t2 = inner_product(l1, r1)
+        y_pow = so.powers(y, nm)
+        z_pow = so.powers(z, m)
+        bits_arr = so.ints_to_array(a_L)
+        sL_arr = so.ints_to_array(s_L)
+        sR_arr = so.ints_to_array(s_R)
+        l0 = so.sub(bits_arr, so.ints_to_array([z] * nm))
+        # r0 = y^i * (a_L[i] - 1 + z) + zz * z^(i//n) * 2^(i%n)
+        r0 = so.mul(y_pow, so.ints_to_array([(z - 1) % L] * nm))
+        r0 = so.add(r0, so.mul(y_pow, bits_arr))
+        pow2_term = so.ints_to_array(
+            [zz * (1 << k) % L for k in range(n)]
+        )  # one period; tile by party with z_pow factors
+        zz_col = np.repeat(so.muls(z_pow, 1), n, axis=0)  # z^j per slot
+        r0 = so.add(r0, so.mul(zz_col, np.tile(pow2_term, (m, 1))))
+        r1 = so.mul(y_pow, sR_arr)
+
+        t0 = so.inner(l0, r0)
+        t1 = (so.inner(l0, r1) + so.inner(sL_arr, r0)) % L
+        t2 = so.inner(sL_arr, r1)
 
         t_1_blinding = scalars.random_scalar()
         t_2_blinding = scalars.random_scalar()
@@ -230,7 +242,9 @@ class RangeProof:
         x = transcript.challenge_scalar(b"x")
 
         t_x = (t0 + t1 * x + t2 * x * x) % L
-        t_0_blinding = sum(zz * z_pow[j] % L * (blindings[j] % L) for j in range(m)) % L
+        t_0_blinding = so.inner(
+            so.muls(z_pow, zz), so.ints_to_array([b % L for b in blindings])
+        )
         t_x_blinding = (t_0_blinding + x * t_1_blinding + x * x * t_2_blinding) % L
         e_blinding = (a_blinding + x * s_blinding) % L
 
@@ -241,12 +255,12 @@ class RangeProof:
         w = transcript.challenge_scalar(b"w")
         Q = w * B
 
-        l_vec = [(l0[i] + x * l1[i]) % L for i in range(nm)]
-        r_vec = [(r0[i] + x * r1[i]) % L for i in range(nm)]
+        l_vec = so.axpy_(l0.copy(), sL_arr, x)
+        r_vec = so.axpy_(r0.copy(), r1, x)
 
         y_inv = scalars.invert(y)
-        H_factors = exp_iter(y_inv, nm)
-        G_factors = [1] * nm
+        H_factors = so.powers(y_inv, nm)
+        G_factors = so.ints_to_array([1] * nm)
 
         ipp = InnerProductProof.create(
             transcript, Q, G_factors, H_factors, G_all, H_all, l_vec, r_vec, msm=msm
