@@ -933,7 +933,9 @@ class Accelerator:
         return call
 
     def _chunk_fn(self, ns: int, nr: int, nk: int, m_block: int, e_pad: int):
-        key = ("chunk", ns, nr, nk, m_block, e_pad, self.use_quad)
+        from .pallas_msm import use_fe13 as _fe13
+
+        key = ("chunk", ns, nr, nk, m_block, e_pad, self.use_quad, _fe13())
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
@@ -1248,8 +1250,10 @@ class Accelerator:
 
     def _final_fn(self, n_chunks: int, nk_tuple: tuple, ns_s: int, nr_s: int,
                   m_block: int, k_gens: int, e_pad: int):
+        from .pallas_msm import use_fe13 as _fe13
+
         key = ("final", n_chunks, nk_tuple, ns_s, nr_s, m_block, k_gens,
-               e_pad, self.use_quad)
+               e_pad, self.use_quad, _fe13())
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}

@@ -1006,6 +1006,255 @@ def msm_windowed_lanes_pallas(points, digits, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# 20x13-bit "no-split" field tier (experimental, XELIS_FE13=1)
+# ---------------------------------------------------------------------------
+#
+# The 18x15-bit schoolbook must split every 30-bit partial product into
+# lo/hi 15-bit pieces before accumulating (sums of 18 raw products
+# overflow u32), costing a mask + shift + two shifted adds per product
+# row.  With 13-bit limbs the raw products (<= 2^26.9 for relaxed
+# operands <= 2^13.45) accumulate DIRECTLY in u32 (20 terms < 2^31.1),
+# so a field mul is 20 shifted multiply-adds + fold + two carry passes —
+# measured 1.49x faster per mul in isolation (PERF_NOTES round 4).
+# Bounds discipline: _carry13 leaves limbs <= 2^13 + eps; _sub13's
+# pad/bump keep per-limb subtraction borrow-free exactly like the 15-bit
+# tier; the 2^260 overflow folds with factor 2^5 * 19 = 608.
+
+NL13 = 20
+B13 = 13
+M13 = (1 << B13) - 1
+FOLD13 = 608  # 2^(13*20 - 255) * 19
+
+
+def _cat(parts, jnp):
+    parts = [p for p in parts if p.shape[0]]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _carry13(t, jnp):
+    """Relaxed carry for SMALL slack (add/sub results, limbs <= ~2^15):
+    the top wrap cy[19]*608 must stay < 2^13-ish."""
+    T = t.shape[1]
+    lo = t & jnp.uint32(M13)
+    cy = t >> B13
+    z1 = jnp.zeros((1, T), dtype=jnp.uint32)
+    out = lo + _cat([z1, cy[: NL13 - 1]], jnp)
+    wrap = cy[NL13 - 1 : NL13] * jnp.uint32(FOLD13)
+    return out + _cat([wrap, jnp.zeros((NL13 - 1, T), jnp.uint32)], jnp)
+
+
+def _carry13_wide(t, jnp):
+    """Carry for WIDE rows (mul/sqr accumulators, <= 2^31): the top carry
+    cy[19] is up to ~2^18, so its x608 wrap must itself split into
+    row 0 (low 13 bits) and row 1 (high bits) or it overflows the next
+    operation's column sums — the round-4 fe13 probabilistic-corruption
+    bug.  Two applications bring limbs to <= 2^13 + eps."""
+    T = t.shape[1]
+    lo = t & jnp.uint32(M13)
+    cy = t >> B13
+    z1 = jnp.zeros((1, T), dtype=jnp.uint32)
+    out = lo + _cat([z1, cy[: NL13 - 1]], jnp)
+    top = cy[NL13 - 1 : NL13]
+    w_lo = (top & jnp.uint32(M13)) * jnp.uint32(FOLD13)
+    w_hi = (top >> B13) * jnp.uint32(FOLD13)
+    return out + _cat(
+        [w_lo, w_hi, jnp.zeros((NL13 - 2, T), jnp.uint32)], jnp
+    )
+
+
+def _carry13_mul_out(low, jnp):
+    """Normalize a mul/sqr accumulator (rows <= ~2^31.2) to limbs
+    <= 2^13 + eps.  The x608 fold shrinks carries only ~2^3.75 per naive
+    pass, so instead: one wide pass (split wrap), one simple pass (after
+    which only row 0 is big, <= ~2^18.6), then a row-0-only fixup."""
+    T = low.shape[1]
+    t = _carry13(_carry13_wide(low, jnp), jnp)
+    r0cy = t[0:1] >> B13
+    return jnp.concatenate(
+        [t[0:1] & jnp.uint32(M13), t[1:2] + r0cy, t[2:]], axis=0
+    )
+
+
+def _mul13(a, b, jnp):
+    T = a.shape[1]
+    z = lambda r: jnp.zeros((r, T), jnp.uint32)
+    acc = jnp.zeros((2 * NL13 - 1, T), dtype=jnp.uint32)
+    for j in range(NL13):
+        p = a * b[j : j + 1]
+        acc = acc + _cat([z(j), p, z(NL13 - 1 - j)], jnp)
+    hi = acc[NL13:]  # columns 20..38
+    hi_lo = (hi & jnp.uint32(M13)) * jnp.uint32(FOLD13)
+    hi_hi = (hi >> B13) * jnp.uint32(FOLD13)
+    low = acc[:NL13]
+    low = low + _cat([hi_lo, z(1)], jnp)
+    low = low + _cat([z(1), hi_hi], jnp)
+    return _carry13_mul_out(low, jnp)
+
+
+def _sqr13(a, jnp):
+    T = a.shape[1]
+    z = lambda r: jnp.zeros((r, T), jnp.uint32)
+    acc = jnp.zeros((2 * NL13 - 1, T), dtype=jnp.uint32)
+    for j in range(NL13):
+        # diagonal + doubled cross terms with i > j (each product pair
+        # appears once, doubled) — ~half the multiplies of _mul13
+        tail = a[j:] * a[j : j + 1]
+        dbl = jnp.concatenate(
+            [tail[:1], tail[1:] + tail[1:]], axis=0
+        ) if tail.shape[0] > 1 else tail
+        acc = acc + _cat([z(2 * j), dbl, z(2 * NL13 - 1 - 2 * j - dbl.shape[0])], jnp)
+    hi = acc[NL13:]
+    hi_lo = (hi & jnp.uint32(M13)) * jnp.uint32(FOLD13)
+    hi_hi = (hi >> B13) * jnp.uint32(FOLD13)
+    low = acc[:NL13]
+    low = low + _cat([hi_lo, z(1)], jnp)
+    low = low + _cat([z(1), hi_hi], jnp)
+    return _carry13_mul_out(low, jnp)
+
+
+def _pad13_limbs():
+    """Multiple of p in 20 relaxed 13-bit limbs + top, per-limb >= any
+    relaxed operand limb (borrow-free subtraction; mirrors fe._pad_limbs)."""
+    from ..pyref import field as _pf
+
+    m = (1 << B13) + (1 << 9) + 2
+    v = m * _pf.P
+    limbs = [(v >> (B13 * k)) & M13 for k in range(NL13)]
+    limbs.append(v >> (B13 * NL13))
+    slack = (1 << B13) + (1 << 9)
+    for k in range(NL13):
+        while limbs[k] < slack:
+            limbs[k] += 1 << B13
+            limbs[k + 1] -= 1
+    assert all(slack <= l < (1 << 15) for l in limbs[:NL13])
+    assert limbs[NL13] >= 0
+    total = sum(l << (B13 * k) for k, l in enumerate(limbs))
+    assert total == m * _pf.P
+    return limbs
+
+
+def _add13(a, b, jnp):
+    return _carry13(a + b, jnp)
+
+
+def _sub13(a, b, jnp, pad, bump):
+    return _carry13(a + pad - b + bump, jnp)
+
+
+def _to13_t(a15, jnp):
+    """(18, T) 15-bit EXACT limbs -> (20, T) 13-bit limbs (bit repack)."""
+    rows = []
+    for j in range(NL13):
+        bit = B13 * j
+        f, r = bit // LIMB_BITS, bit % LIMB_BITS
+        v = a15[f : f + 1] >> jnp.uint32(r)
+        if r > B13 * 0 and f + 1 < NLIMBS and LIMB_BITS - r < B13:
+            v = v | (a15[f + 1 : f + 2] << jnp.uint32(LIMB_BITS - r))
+        rows.append(v & jnp.uint32(M13))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _exact13_t(t, jnp):
+    """Normalize to limbs < 2^13.  THREE sequential passes: the top-limb
+    wrap (x608 into row 0) lands after a pass's normalization, so row 0
+    can still exceed 2^13 after two — the bit repack in _from13_t needs
+    strict 13-bit limbs."""
+    T = t.shape[1]
+    for _ in range(3):
+        rows = []
+        carry = jnp.zeros((1, T), dtype=jnp.uint32)
+        for k in range(NL13):
+            v = t[k : k + 1] + carry
+            rows.append(v & jnp.uint32(M13))
+            carry = v >> B13
+        rows[0] = rows[0] + carry * jnp.uint32(FOLD13)
+        t = jnp.concatenate(rows, axis=0)
+    return t
+
+
+def _from13_t(a13, jnp):
+    """(20, T) relaxed 13-bit limbs -> (18, T) 15-bit limbs (repack; runs
+    an exact carry first so the bit extraction is sound)."""
+    e = _exact13_t(a13, jnp)
+    rows = []
+    for j in range(NLIMBS):
+        bit = LIMB_BITS * j
+        f, r = bit // B13, bit % B13
+        v = e[f : f + 1] >> jnp.uint32(r)
+        take = B13 - r
+        if take < LIMB_BITS and f + 1 < NL13:
+            v = v | (e[f + 1 : f + 2] << jnp.uint32(take))
+            take += B13
+        if take < LIMB_BITS and f + 2 < NL13:
+            v = v | (e[f + 2 : f + 3] << jnp.uint32(take))
+        rows.append(v & jnp.uint32(MASK))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _point_add13(p, q, jnp, consts):
+    d2, pad, bump = consts
+    X1, Y1, Z1, T1 = p
+    X2, Y2, Z2, T2 = q
+    A = _mul13(_sub13(Y1, X1, jnp, pad, bump), _sub13(Y2, X2, jnp, pad, bump), jnp)
+    B = _mul13(_add13(Y1, X1, jnp), _add13(Y2, X2, jnp), jnp)
+    C = _mul13(_mul13(T1, d2, jnp), T2, jnp)
+    D = _mul13(_add13(Z1, Z1, jnp), Z2, jnp)
+    E = _sub13(B, A, jnp, pad, bump)
+    F = _sub13(D, C, jnp, pad, bump)
+    G = _add13(D, C, jnp)
+    H = _add13(B, A, jnp)
+    return (
+        _mul13(E, F, jnp),
+        _mul13(G, H, jnp),
+        _mul13(F, G, jnp),
+        _mul13(E, H, jnp),
+    )
+
+
+def _point_double13(p, jnp, consts, want_t: bool = True):
+    _, pad, bump = consts
+    X1, Y1, Z1, _ = p
+    A = _sqr13(X1, jnp)
+    B = _sqr13(Y1, jnp)
+    Zsq = _sqr13(Z1, jnp)
+    C = _add13(Zsq, Zsq, jnp)
+    H = _add13(A, B, jnp)
+    xy = _add13(X1, Y1, jnp)
+    E = _sub13(H, _sqr13(xy, jnp), jnp, pad, bump)
+    G = _sub13(A, B, jnp, pad, bump)
+    F = _add13(C, G, jnp)
+    return (
+        _mul13(E, F, jnp),
+        _mul13(G, H, jnp),
+        _mul13(F, G, jnp),
+        _mul13(E, H, jnp) if want_t else E,
+    )
+
+
+def _neg13(a, jnp, consts):
+    _, pad, bump = consts
+    return _carry13(pad - a + bump, jnp)
+
+
+CONSTS13_ROWS = 64
+
+
+def _consts13_array() -> _np.ndarray:
+    """(64, 1) u32 columns for the 13-bit tier: rows 0-19 D2, 20-39 PAD,
+    40-59 BUMP (top pad limb folded by 608 into row 0)."""
+    from ..pyref import field as _pf
+
+    out = _np.zeros((CONSTS13_ROWS, 1), dtype=_np.uint32)
+    d2 = 2 * _pf.D % _pf.P
+    for k in range(NL13):
+        out[k, 0] = (d2 >> (B13 * k)) & M13
+    pad = _pad13_limbs()
+    out[NL13 : 2 * NL13, 0] = pad[:NL13]
+    out[2 * NL13, 0] = pad[NL13] * FOLD13  # bump rides at row 0
+    return out
+
+
+# ---------------------------------------------------------------------------
 # quad-lane windowed kernel: 4 scalar-muls share one accumulator
 # ---------------------------------------------------------------------------
 #
@@ -1116,6 +1365,109 @@ def _windowed_call_k4(n_slots: int, interpret: bool):
     )
 
 
+def _identity13_cols(T, jnp):
+    zero = jnp.zeros((NL13, T), dtype=jnp.uint32)
+    one = jnp.concatenate([jnp.ones((1, T), dtype=jnp.uint32), zero[1:]], axis=0)
+    return (zero, one, one, zero)
+
+
+def _windowed_kernel_k4_fe13(c13_ref, digits_ref, pts_ref, out_ref):
+    """Quad kernel on the 20x13-bit tier: inputs/outputs stay in the
+    engine's 18x15-bit row format (repacked at the kernel boundary, ~1%
+    of the window work); all point arithmetic runs no-split 13-bit."""
+    import jax
+    import jax.numpy as jnp
+
+    T = pts_ref.shape[1]
+    d2 = c13_ref[0:NL13, :]
+    pad = c13_ref[NL13 : 2 * NL13, :]
+    bump = c13_ref[2 * NL13 : 3 * NL13, :]
+    consts = (d2, pad, bump)
+
+    tables = []
+    for k in range(K_PACK):
+        base15 = tuple(
+            pts_ref[4 * NLIMBS * k + c * NLIMBS : 4 * NLIMBS * k + (c + 1) * NLIMBS, :]
+            for c in range(4)
+        )
+        t1 = tuple(_to13_t(c, jnp) for c in base15)
+        t2 = _point_double13(t1, jnp, consts)
+        t3 = _point_add13(t2, t1, jnp, consts)
+        t4 = _point_double13(t2, jnp, consts)
+        t5 = _point_add13(t4, t1, jnp, consts)
+        t6 = _point_double13(t3, jnp, consts)
+        t7 = _point_add13(t6, t1, jnp, consts)
+        t8 = _point_double13(t4, jnp, consts)
+        tables.append((t1, t2, t3, t4, t5, t6, t7, t8))
+
+    ident = _identity13_cols(T, jnp)
+
+    def step(kk, acc):
+        w = N_WINDOWS - 1 - kk
+        acc = _point_double13(acc, jnp, consts, want_t=False)
+        acc = _point_double13(acc, jnp, consts, want_t=False)
+        acc = _point_double13(acc, jnp, consts, want_t=False)
+        acc = _point_double13(acc, jnp, consts, want_t=True)
+        for k in range(K_PACK):
+            e = digits_ref[pl_ds(N_WINDOWS * k + w), :]
+            val = e.astype(jnp.int32) - 8
+            neg = (val < 0).astype(jnp.uint32)
+            k_abs = jnp.where(val < 0, -val, val).astype(jnp.uint32)
+            sel = ident
+            for idx, entry in enumerate(tables[k]):
+                sel = _point_select_t(k_abs == jnp.uint32(idx + 1), entry, sel, jnp)
+            sx, sy, sz, st = sel
+            sel = (
+                _select_t(neg, _neg13(sx, jnp, consts), sx, jnp),
+                sy,
+                sz,
+                _select_t(neg, _neg13(st, jnp, consts), st, jnp),
+            )
+            acc = _point_add13(acc, sel, jnp, consts)
+        return acc
+
+    acc = jax.lax.fori_loop(0, N_WINDOWS, step, ident)
+    out_ref[:] = jnp.concatenate([_from13_t(c, jnp) for c in acc], axis=0)
+
+
+@functools.lru_cache(maxsize=8)
+def _windowed_call_k4_fe13(n_slots: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tile = min(QTILE, n_slots)
+    assert n_slots % tile == 0
+    grid = (n_slots // tile,)
+
+    return pl.pallas_call(
+        _windowed_kernel_k4_fe13,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((CONSTS13_ROWS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (K_PACK * N_WINDOWS, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (K_PACK * 4 * NLIMBS, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (4 * NLIMBS, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4 * NLIMBS, n_slots), jnp.uint32),
+        interpret=interpret,
+    )
+
+
+def use_fe13() -> bool:
+    """Experimental 13-bit quad kernel (default off; XELIS_FE13=1)."""
+    import os
+
+    return os.environ.get("XELIS_FE13", "0") == "1"
+
+
 def msm_windowed_lanes_pallas_k4(points4, digits4, interpret: bool = False):
     """Quad-packed windowed lanes: out[slot] = sum of 4 scalar-muls.
 
@@ -1139,7 +1491,15 @@ def msm_windowed_lanes_pallas_k4(points4, digits4, interpret: bool = False):
     consts = jnp.asarray(
         jnp.broadcast_to(jnp.asarray(_consts_array()), (CONSTS_ROWS, tile))
     )
-    out = _windowed_call_k4(s, _want_interpret(interpret))(consts, dig, stacked)
+    if use_fe13():
+        c13 = jnp.asarray(
+            jnp.broadcast_to(jnp.asarray(_consts13_array()), (CONSTS13_ROWS, tile))
+        )
+        out = _windowed_call_k4_fe13(s, _want_interpret(interpret))(
+            c13, dig, stacked
+        )
+    else:
+        out = _windowed_call_k4(s, _want_interpret(interpret))(consts, dig, stacked)
     return tuple(
         jnp.transpose(out[c * NLIMBS : (c + 1) * NLIMBS, :], (1, 0)) for c in range(4)
     )
