@@ -293,7 +293,21 @@ class Accelerator:
         lanes = self._lanes_fn()
         use_pallas = self.use_pallas
 
+        use_quad = self.use_quad
+
         def _msm_daa(points, bits):
+            xp = curve.xp
+            if use_quad and points[0].shape[0] % (4 * 512) == 0:
+                from .pallas_msm import tile_sums_pallas
+
+                lanes_k4 = self._lanes_fn_k4()
+                p4 = tuple(
+                    xp.stack([c[k::4] for k in range(4)], axis=0)
+                    for c in points
+                )
+                d4 = xp.stack([bits[:, k::4] for k in range(4)], axis=0)
+                acc = tile_sums_pallas(lanes_k4(p4, d4))
+                return _tree_reduce(curve, acc, acc[0].shape[0], True)
             acc = lanes(points, bits)
             if use_pallas:
                 from .pallas_msm import tile_sums_pallas
