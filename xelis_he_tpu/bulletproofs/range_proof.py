@@ -436,11 +436,20 @@ class RangeProof:
             raise TranscriptError("point should not be the identity")
         return True
 
-    def queue_batch_fold(self, fold, value_commitments, n, bp_gens, rho, c):
+    def queue_batch_fold(self, fold, transcript, value_commitments, n, bp_gens, rho, c):
         """Deferred-mode fold: validate structure, drain the transcript's
         pending ops into the tx's native fold script, and append the BP
-        record.  Returns (dyn_base, dyn_count, dyn_point_bytes)."""
+        record.  Returns (dyn_base, dyn_count, dyn_point_bytes).
+
+        The drain is load-bearing: payload appends recorded AFTER the tx's
+        last sigma record (burn amount/asset, multisig threshold+signers,
+        contract fields — verify.rs:396-428) sit in the transcript's pending
+        buffer and must enter the fold script BEFORE the BP replay, or the
+        C++ engine's Fiat-Shamir state diverges and valid blocks are
+        rejected."""
         from .. import scalarops
+
+        fold.drain_ops(transcript)
 
         m = len(value_commitments)
         if m == 0 or (m & (m - 1)) != 0:

@@ -618,7 +618,8 @@ def _fused_deferred(
                     rho = scalars.random_scalar()
                     c = scalars.random_scalar()
                     base, cnt, pts = view.proof.queue_batch_fold(
-                        folds[i], view.value_commitments, view.n, BP_GENS, rho, c
+                        folds[i], view.transcript, view.value_commitments,
+                        view.n, BP_GENS, rho, c,
                     )
                     dyn_info.append((i, base, cnt))
                     chunk_range_points.extend([row_get(p, p) for p in pts])
@@ -1399,7 +1400,12 @@ def verify_batch(
         # (commitments + transfers), not transactions: a 16x255
         # aggregation block is ~4096 units of MSM work and verifies 3x
         # faster on the device (19 vs 63 ms/tx measured round 4).
-        if len(txs) <= int(os.environ.get("XELIS_HOST_VERIFY_MAX", "32")):
+        # A mesh-configured accelerator NEVER crosses over: the caller asked
+        # for the sharded device path (dryrun/scaling validation), and the
+        # host path would silently validate nothing (round-4 false green).
+        if accel.mesh is None and len(txs) <= int(
+            os.environ.get("XELIS_HOST_VERIFY_MAX", "32")
+        ):
             units = sum(
                 len(tx.new_source_commitments)
                 + (len(tx.data) if isinstance(tx.data, list) else 0)
