@@ -333,3 +333,138 @@ def test_mixed_block(mode, accel):
     assert ledger.get_bal_decrypted(pk_r, NATIVE_ASSET) == mul_base(13)
     assert ledger.get_bal_decrypted(pk_r, ASSET_2) == mul_base(20)
     assert ledger.get_multisig_for_account(pk4) == ([pk_cs], 1)
+
+
+# ---------------------------------------------------------------------------
+# native-engine coverage pins: the C++ block engine must HANDLE these
+# shapes itself (returning True), not silently fall back to the Python
+# fused path — otherwise the 10k mixed-block benchmark would quietly run
+# the slow path (VERDICT r4 item 3).
+# ---------------------------------------------------------------------------
+
+
+def _native_handled(txs, ledger, accel, monkeypatch):
+    import xelis_he_tpu.tx.verify as V
+
+    pytest.importorskip("xelis_he_tpu.hashcore.preverify_native")
+    monkeypatch.setenv("XELIS_NATIVE_PREVERIFY", "1")
+    results = []
+    orig = V._fused_native
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        results.append(r)
+        return r
+
+    monkeypatch.setattr(V, "_fused_native", spy)
+    verify_batch(txs, ledger, accel=accel)
+    assert results == [True], f"native engine fell back: {results}"
+
+
+def test_native_engine_handles_multisig_spend(accel, monkeypatch):
+    alice = Account([(NATIVE_ASSET, 100)])
+    bob = Account([(NATIVE_ASSET, 0)])
+    charlie = Account([(NATIVE_ASSET, 0)])
+    ledger = Ledger()
+    pk_a = ledger.add_account(alice)
+    pk_b = ledger.add_account(bob)
+    pk_c = ledger.add_account(charlie)
+    ledger.set_multisig_for_account(pk_a, [pk_c], 1)
+    builder = TransactionBuilder(
+        version=1, source=pk_a,
+        data=TransfersBuilder(
+            [TransferBuilder(asset=NATIVE_ASSET, amount=10, dest_pubkey=pk_b)]
+        ),
+        fee=1, nonce=0,
+    )
+    unsigned = builder.build_unsigned(
+        GenerationBalance({NATIVE_ASSET: 100}, alice), alice.keypair
+    )
+    h = unsigned.hash()
+    unsigned.set_multisig([(0, charlie.keypair.sign(h.data))])
+    tx = unsigned.sign(alice.keypair)
+    _native_handled([tx], ledger, accel, monkeypatch)
+    assert ledger.get_bal_decrypted(pk_b, NATIVE_ASSET) == mul_base(10)
+
+
+def test_native_engine_handles_inblock_config(accel, monkeypatch):
+    """A multisig-setup tx followed by a spend from the SAME account in one
+    block: the native state pass must replay the config before checking
+    the second tx's cosigner signatures."""
+    alice = Account([(NATIVE_ASSET, 100)])
+    bob = Account([(NATIVE_ASSET, 0)])
+    cosig = Account([(NATIVE_ASSET, 0)])
+    ledger = Ledger()
+    pk_a = ledger.add_account(alice)
+    pk_b = ledger.add_account(bob)
+    pk_cs = ledger.add_account(cosig)
+    t1 = TransactionBuilder(
+        version=1, source=pk_a, data=MultiSigBuilder(signers=[pk_cs], threshold=1),
+        fee=1, nonce=0,
+    ).build(GenerationBalance({NATIVE_ASSET: 100}, alice), alice.keypair)
+    b2 = TransactionBuilder(
+        version=1, source=pk_a,
+        data=TransfersBuilder(
+            [TransferBuilder(asset=NATIVE_ASSET, amount=5, dest_pubkey=pk_b)]
+        ),
+        fee=1, nonce=0,
+    )
+    u2 = b2.build_unsigned(
+        GenerationBalance({NATIVE_ASSET: 99}, alice), alice.keypair
+    )
+    h2 = u2.hash()
+    u2.set_multisig([(0, cosig.keypair.sign(h2.data))])
+    t2 = u2.sign(alice.keypair)
+    _native_handled([t1, t2], ledger, accel, monkeypatch)
+    assert ledger.get_bal_decrypted(pk_b, NATIVE_ASSET) == mul_base(5)
+    assert ledger.get_multisig_for_account(pk_a) == ([pk_cs], 1)
+
+
+def test_native_engine_rejects_bad_cosigner(accel, monkeypatch):
+    import xelis_he_tpu.tx.verify as V
+
+    pytest.importorskip("xelis_he_tpu.hashcore.preverify_native")
+    monkeypatch.setenv("XELIS_NATIVE_PREVERIFY", "1")
+    alice = Account([(NATIVE_ASSET, 100)])
+    bob = Account([(NATIVE_ASSET, 0)])
+    charlie = Account([(NATIVE_ASSET, 0)])
+    mallory = Account([(NATIVE_ASSET, 0)])
+    ledger = Ledger()
+    pk_a = ledger.add_account(alice)
+    pk_b = ledger.add_account(bob)
+    pk_c = ledger.add_account(charlie)
+    ledger.add_account(mallory)
+    ledger.set_multisig_for_account(pk_a, [pk_c], 1)
+    builder = TransactionBuilder(
+        version=1, source=pk_a,
+        data=TransfersBuilder(
+            [TransferBuilder(asset=NATIVE_ASSET, amount=10, dest_pubkey=pk_b)]
+        ),
+        fee=1, nonce=0,
+    )
+    unsigned = builder.build_unsigned(
+        GenerationBalance({NATIVE_ASSET: 100}, alice), alice.keypair
+    )
+    h = unsigned.hash()
+    # mallory signs claiming charlie's index
+    unsigned.set_multisig([(0, mallory.keypair.sign(h.data))])
+    tx = unsigned.sign(alice.keypair)
+    with pytest.raises(ProofVerificationError):
+        verify_batch([tx], ledger, accel=accel)
+
+
+def test_native_engine_handles_contract_call(accel, monkeypatch):
+    alice = Account([(NATIVE_ASSET, 100), (ASSET_2, 50)])
+    ledger = Ledger()
+    pk_a = ledger.add_account(alice)
+    tx = TransactionBuilder(
+        version=1, source=pk_a,
+        data=SmartContractCallBuilder(
+            contract=CONTRACT, assets={NATIVE_ASSET: 5, ASSET_2: 8},
+            params={"k": "v"},
+        ),
+        fee=1, nonce=0,
+    ).build(GenerationBalance({NATIVE_ASSET: 100, ASSET_2: 50}, alice), alice.keypair)
+    _native_handled([tx], ledger, accel, monkeypatch)
+    assert ledger.get_bal_decrypted(pk_a, NATIVE_ASSET) == mul_base(94)
+    assert ledger.get_bal_decrypted(pk_a, ASSET_2) == mul_base(42)

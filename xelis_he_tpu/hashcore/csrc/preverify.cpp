@@ -124,18 +124,59 @@ struct CommD {
 };
 
 struct TxD {
-  uint8_t version, kind;  // kind: 0 transfers, 1 burn
+  // kind: 0 transfers, 1 burn, 2 call-contract, 3 deploy, 4 multisig
+  // payload (tx/wire.py _KIND_*)
+  uint8_t version, kind;
   uint64_t fee, nonce;
   uint32_t src_off;
   int32_t src_row;
   uint32_t n_transfers, n_comms, tr0, cm0;
   uint32_t burn_off;  // asset offset (kind 1)
   uint64_t burn_amount;
+  uint32_t ca0 = 0, n_call = 0;        // kind 2: call-asset range
+  uint8_t ms_threshold = 0;            // kind 4: payload config
+  uint32_t ms_sg0 = 0, ms_n_signers = 0;
+  uint32_t msig0 = 0, n_msigs = 0;     // carried multisig signatures
   uint32_t rp_off, lg, m_real, m_padded, rp_rows0;
   uint32_t sig_off;
   uint32_t pre_off, pre_len;
+  uint32_t ms_pre_len;  // preimage prefix multisig cosigners sign (blake3)
+  uint32_t sig_lane0 = 0;  // global signature-lane base (1 + checked msigs)
   uint32_t sigma_base, range_lanes;
   u64 e_red[4];  // signature e reduced mod L (for the final hash check)
+};
+
+struct CallAsset {  // kind-2 (asset, amount) entry
+  uint32_t asset_off;
+  uint64_t amount;
+};
+
+struct MsigRec {  // one carried multisig signature (wire order)
+  uint8_t id;
+  uint32_t sig_off;
+  u64 e_red[4];
+};
+
+// One CHECKED multisig signature (signer index in range — verify.rs:276
+// skips out-of-range indices): everything the fold + final hash check
+// need.  pk bytes are copied because initial-config encodings live in a
+// caller buffer that does not outlive the state pass.
+struct SigCheck {
+  uint32_t sig_off;
+  int32_t row;
+  uint8_t pk[32];
+  u64 e_red[4];
+};
+
+// Per-account multisig config during the sequential state replay
+// (verify.rs:258-292 reads it, :420-426 mutates it).
+struct MsCfg {
+  bool present = false;
+  uint8_t threshold = 0;
+  std::vector<int32_t> rows;      // signer device rows
+  std::vector<uint8_t> enc;       // 32B per signer
+  std::vector<uint32_t> woffs;    // wire offsets (in-block configs only)
+  bool from_wire = false;         // set by an in-block payload
 };
 
 // Bulk state pass (round 4): per-(account, asset) running balance term
@@ -191,6 +232,10 @@ struct BlockSession {
   std::vector<TxD> txs;
   std::vector<TransferD> transfers;
   std::vector<CommD> comms;
+  std::vector<CallAsset> call_assets;   // kind-2 payload entries
+  std::vector<uint32_t> ms_signer_offs; // kind-4 payload signer wire offs
+  std::vector<int32_t> ms_signer_rows;  // interned rows for the same
+  std::vector<MsigRec> msig_recs;       // carried multisig signatures
   std::vector<int32_t> rp_rows;   // A,S,T1,T2,L...,R... rows per tx
   std::vector<uint8_t> preimage;  // signing-preimage arena
   size_t max_party = 0;
@@ -213,6 +258,12 @@ struct BlockSession {
   std::vector<CommSnap> snaps;  // indexed by global commitment index
   std::vector<uint64_t> nonces;
   std::vector<uint8_t> unk_encs;  // 32B per out-of-block state encoding
+  // multisig replay (bulk mode only)
+  std::vector<MsCfg> mscfgs;      // per account, mutated in tx order
+  std::vector<uint8_t> ms_changed;
+  std::vector<SigCheck> sig_checks;     // concatenated checked msig sigs
+  std::vector<uint32_t> tx_sig0, tx_nsig;  // per-tx range into sig_checks
+  std::vector<uint8_t> ms_hash;   // 32B blake3 message per tx (if checked)
 };
 
 struct Rd {
@@ -293,6 +344,7 @@ enum {
   RC_STATE_DECOMP = 7,  // invalid state term encoding (DecompressionError)
   RC_NONCE = 8,         // nonce mismatch (InvalidNonceError)
   RC_COMMASSETS = 9,    // commitment-assets check failed (format error)
+  RC_MSIG = 10,         // multisig config/signature-set mismatch (format)
 };
 
 }  // namespace
@@ -404,8 +456,66 @@ static int collect_one(BlockSession *s, const uint8_t *wire, size_t lo,
     pre.insert(pre.end(), asset, asset + 32);
     be64(tx.burn_amount, b8);
     pre.insert(pre.end(), b8, b8 + 8);
+  } else if (kind == 2) {  // call contract (tx/wire.py _KIND_CALL)
+    tx.kind = 2;
+    const uint8_t *contract = r.take(32);
+    if (!contract) return RC_MALFORMED;
+    pre.insert(pre.end(), contract, contract + 32);
+    uint32_t na = r.u16();
+    tx.ca0 = (uint32_t)s->call_assets.size();
+    tx.n_call = na;
+    for (uint32_t i = 0; i < na; ++i) {
+      const uint8_t *asset = r.take(32);
+      if (!asset) return RC_MALFORMED;
+      uint64_t amount = r.u64v();
+      s->call_assets.push_back({r.off(asset), amount});
+      pre.insert(pre.end(), asset, asset + 32);
+      be64(amount, b8);
+      pre.insert(pre.end(), b8, b8 + 8);
+    }
+    uint32_t np_ = r.u16();
+    for (uint32_t i = 0; i < np_; ++i) {  // preimage: raw key+value bytes
+      uint32_t klen = r.u16();
+      const uint8_t *k = r.take(klen);
+      uint32_t vlen = r.u16();
+      const uint8_t *v = r.take(vlen);
+      if (r.fail) return RC_MALFORMED;
+      pre.insert(pre.end(), k, k + klen);
+      pre.insert(pre.end(), v, v + vlen);
+    }
+  } else if (kind == 3) {  // deploy contract
+    tx.kind = 3;
+    uint32_t clen = r.u32();
+    const uint8_t *code = r.take(clen);
+    if (!code) return RC_MALFORMED;
+    pre.insert(pre.end(), code, code + clen);
+  } else if (kind == 4) {  // multisig config payload
+    tx.kind = 4;
+    tx.ms_threshold = r.u8();
+    uint32_t nsg = r.u8();
+    if (r.fail) return RC_MALFORMED;
+    // structural validation (verify.rs:404-418): invalid payloads route to
+    // the Python path, which raises the canonical format error
+    if (tx.ms_threshold > nsg || (nsg && !tx.ms_threshold))
+      return RC_UNSUPPORTED;
+    tx.ms_sg0 = (uint32_t)s->ms_signer_offs.size();
+    tx.ms_n_signers = nsg;
+    pre.push_back(tx.ms_threshold);
+    for (uint32_t i = 0; i < nsg; ++i) {
+      const uint8_t *sg = r.take(32);
+      if (!sg) return RC_MALFORMED;
+      if (!std::memcmp(sg, wire + tx.src_off, 32))
+        return RC_UNSUPPORTED;  // source in multisig (format error)
+      for (uint32_t j = 0; j < i; ++j)  // duplicate signer (format error)
+        if (!std::memcmp(
+                sg, wire + s->ms_signer_offs[tx.ms_sg0 + j], 32))
+          return RC_UNSUPPORTED;
+      s->ms_signer_offs.push_back(r.off(sg));
+      s->ms_signer_rows.push_back((int32_t)s->intern.put(sg));
+      pre.insert(pre.end(), sg, sg + 32);
+    }
   } else {
-    return RC_UNSUPPORTED;  // contract call / deploy / multisig payload
+    return RC_UNSUPPORTED;  // unknown payload kind
   }
 
   uint32_t n_comms = r.u8();
@@ -468,9 +578,31 @@ static int collect_one(BlockSession *s, const uint8_t *wire, size_t lo,
     pre.insert(pre.end(), wire + c.commit_off, wire + c.commit_off + 32);
     pre.insert(pre.end(), wire + c.proof_off, wire + c.proof_off + 192);
   }
+  // multisig offset: cosigners sign blake3 of the preimage up to HERE
+  // (tx/model.py to_bytes n_bytes split; verify.rs:267)
+  tx.ms_pre_len = (uint32_t)(pre.size() - tx.pre_off);
+
+  tx.msig0 = (uint32_t)s->msig_recs.size();
+  if (r.u8()) {  // carried multisig signatures
+    uint32_t nm = r.u8();
+    if (r.fail || nm == 0) return RC_UNSUPPORTED;  // empty list: format err
+    tx.n_msigs = nm;
+    for (uint32_t i = 0; i < nm; ++i) {
+      uint8_t sid = r.u8();
+      const uint8_t *msig = r.take(64);
+      if (r.fail) return RC_MALFORMED;
+      MsigRec rec{};
+      rec.id = sid;
+      rec.sig_off = r.off(msig);
+      reduce32(msig + 32, rec.e_red);
+      s->msig_recs.push_back(rec);
+      // the MAIN signature's preimage includes the multisig records
+      pre.push_back(sid);
+      pre.insert(pre.end(), msig, msig + 64);
+    }
+  }
   tx.pre_len = (uint32_t)(pre.size() - tx.pre_off);
 
-  if (r.u8()) return RC_UNSUPPORTED;  // multisig signatures present
   const uint8_t *sig = r.take(64);
   if (!sig || r.p != r.end) return RC_MALFORMED;
   tx.sig_off = r.off(sig);
@@ -479,6 +611,9 @@ static int collect_one(BlockSession *s, const uint8_t *wire, size_t lo,
 
   tx.sigma_base = 5 * tx.n_comms + 8 * tx.n_transfers;
   tx.range_lanes = 4 + 2 * tx.lg + tx.m_padded;
+  // default: one signature lane per tx; the bulk state pass rewrites the
+  // bases when multisig configs add checked-cosigner lanes
+  tx.sig_lane0 = (uint32_t)s->txs.size();
   lane_counts[0] = (int32_t)tx.sigma_base;
   lane_counts[1] = (int32_t)tx.range_lanes;
   lane_counts[2] = (int32_t)tx.m_padded;
@@ -621,11 +756,12 @@ void xhe_blk_state_tables(BlockSession *s, uint32_t *acct_off,
 // verify.rs mutates state per tx as it streams).
 int xhe_blk_state_run(BlockSession *s, const uint64_t *nonces,
                       const uint8_t *init_blob, const uint64_t *init_offs,
+                      const uint8_t *ms_blob, const uint64_t *ms_offs,
                       int64_t extra_base, size_t n_extras,
                       uint8_t *unk_coords, size_t unk_cap,
                       int32_t *n_unk_out, int32_t *term_counts,
-                      int32_t *draw_counts, int32_t *first_bad,
-                      uint64_t *bad_aux) {
+                      int32_t *draw_counts, int32_t *sig_counts,
+                      int32_t *first_bad, uint64_t *bad_aux) {
   const uint8_t *wire = s->wire;
   size_t n = s->txs.size();
   size_t np = s->pair_acct.size();
@@ -689,6 +825,49 @@ int xhe_blk_state_run(BlockSession *s, const uint64_t *nonces,
       }
     }
   }
+
+  // 1b. initial multisig configs (per account: u8 present, u8 threshold,
+  // u8 n, n x 32B signer encodings).  Signer rows resolve like any other
+  // out-of-block state encoding.
+  size_t n_acc = s->acct_off.size();
+  s->mscfgs.assign(n_acc, MsCfg{});
+  s->ms_changed.assign(n_acc, 0);
+  if (ms_blob) {
+    for (size_t a = 0; a < n_acc; ++a) {
+      const uint8_t *mb = ms_blob + ms_offs[a];
+      const uint8_t *mb_end = ms_blob + ms_offs[a + 1];
+      if (mb == mb_end) continue;
+      if (mb + 3 > mb_end) return RC_MALFORMED;
+      MsCfg &c = s->mscfgs[a];
+      c.present = mb[0] != 0;
+      c.threshold = mb[1];
+      uint32_t nsg = mb[2];
+      mb += 3;
+      if (mb + 32 * nsg != mb_end) return RC_MALFORMED;
+      for (uint32_t k = 0; k < nsg; ++k, mb += 32) {
+        int32_t row;
+        uint32_t r0 = s->intern.get(mb);
+        if (r0 != NO_ROW) {
+          row = (int32_t)r0;
+        } else if (n_unk < unk_cap) {
+          if (!xhe_pt_decompress(mb, unk_coords + 128 * n_unk))
+            return RC_STATE_DECOMP;
+          row = (int32_t)(extra_base + (int64_t)n_extras + (int64_t)n_unk);
+          s->unk_encs.insert(s->unk_encs.end(), mb, mb + 32);
+          ++n_unk;
+        } else {
+          return RC_STATE_REF;
+        }
+        c.rows.push_back(row);
+        c.enc.insert(c.enc.end(), mb, mb + 32);
+      }
+    }
+  }
+  s->sig_checks.clear();
+  s->tx_sig0.assign(n, 0);
+  s->tx_nsig.assign(n, 0);
+  s->ms_hash.assign(n * 32, 0);
+  uint32_t sig_cum = 0;
   *n_unk_out = (int32_t)n_unk;
 
   // 2. replay every transaction's mutations in order
@@ -735,10 +914,65 @@ int xhe_blk_state_run(BlockSession *s, const uint64_t *nonces,
           break;
         }
       ok = covered;
+    } else if (ok && tx.kind == 2) {
+      for (uint32_t k = 0; k < tx.n_call && ok; ++k) {
+        const uint8_t *a = wire + s->call_assets[tx.ca0 + k].asset_off;
+        bool covered = false;
+        for (uint32_t ci = 0; ci < tx.n_comms; ++ci)
+          if (!std::memcmp(a, wire + s->comms[tx.cm0 + ci].asset_off, 32)) {
+            covered = true;
+            break;
+          }
+        ok = covered;
+      }
     }
     if (!ok) {
       *first_bad = (int32_t)i;
       return RC_COMMASSETS;
+    }
+
+    // multisig signature-set checks against the CURRENT config
+    // (verify.rs:258-292; config mutations from earlier in-block payloads
+    // are already applied).  Runs after the nonce update and before any
+    // balance mutation — the same failure point as the Python path.
+    {
+      MsCfg &cfg = s->mscfgs[aid];
+      uint32_t checked = 0;
+      if (cfg.present) {
+        if (tx.n_msigs == 0 || tx.n_msigs != cfg.threshold) {
+          *first_bad = (int32_t)i;
+          return RC_MSIG;
+        }
+        uint64_t seen[4] = {0, 0, 0, 0};
+        xhe_blake3(s->preimage.data() + tx.pre_off, tx.ms_pre_len,
+                   &s->ms_hash[32 * i]);
+        s->tx_sig0[i] = (uint32_t)s->sig_checks.size();
+        for (uint32_t k = 0; k < tx.n_msigs; ++k) {
+          const MsigRec &rec = s->msig_recs[tx.msig0 + k];
+          uint64_t bit = 1ull << (rec.id & 63);
+          if (seen[rec.id >> 6] & bit) {
+            *first_bad = (int32_t)i;
+            return RC_MSIG;  // duplicate signer index
+          }
+          seen[rec.id >> 6] |= bit;
+          if (rec.id < cfg.rows.size()) {  // out-of-range: silently skipped
+            SigCheck sc{};
+            sc.sig_off = rec.sig_off;
+            sc.row = cfg.rows[rec.id];
+            std::memcpy(sc.pk, &cfg.enc[32 * rec.id], 32);
+            std::memcpy(sc.e_red, rec.e_red, 32);
+            s->sig_checks.push_back(sc);
+            ++checked;
+          }
+        }
+        s->tx_nsig[i] = checked;
+      } else if (tx.n_msigs != 0) {
+        *first_bad = (int32_t)i;
+        return RC_MSIG;  // unexpected multisig (verify.rs:289-291)
+      }
+      sig_counts[i] = (int32_t)(1 + checked);
+      s->txs[i].sig_lane0 = sig_cum;
+      sig_cum += 1 + checked;
     }
 
     int32_t terms = 0;
@@ -756,6 +990,15 @@ int xhe_blk_state_run(BlockSession *s, const uint64_t *nonces,
       if (tx.kind == 1 && !std::memcmp(asset, wire + tx.burn_off, 32)) {
         u64 bv[4] = {tx.burn_amount, 0, 0, 0};
         sub_mod(P.g, bv, P.g);
+      }
+      if (tx.kind == 2) {  // contract-call deposits (verify.py:94-97)
+        for (uint32_t k = 0; k < tx.n_call; ++k) {
+          const CallAsset &ca = s->call_assets[tx.ca0 + k];
+          if (!std::memcmp(asset, wire + ca.asset_off, 32)) {
+            u64 cv[4] = {ca.amount, 0, 0, 0};
+            sub_mod(P.g, cv, P.g);
+          }
+        }
       }
       if (tx.kind == 0) {
         for (uint32_t fi = 0; fi < tx.n_transfers; ++fi) {
@@ -786,10 +1029,57 @@ int xhe_blk_state_run(BlockSession *s, const uint64_t *nonces,
         P.last_role = 1;
       }
     }
+    // multisig payload: replace the account's config (verify.rs:420-426;
+    // an empty signer set deletes it — mock.set_multisig_for_account)
+    if (tx.kind == 4) {
+      MsCfg &c = s->mscfgs[aid];
+      c.present = tx.ms_n_signers > 0;
+      c.threshold = tx.ms_threshold;
+      c.rows.assign(s->ms_signer_rows.begin() + tx.ms_sg0,
+                    s->ms_signer_rows.begin() + tx.ms_sg0 + tx.ms_n_signers);
+      c.enc.clear();
+      c.woffs.assign(s->ms_signer_offs.begin() + tx.ms_sg0,
+                     s->ms_signer_offs.begin() + tx.ms_sg0 + tx.ms_n_signers);
+      for (uint32_t k = 0; k < tx.ms_n_signers; ++k) {
+        const uint8_t *e = wire + s->ms_signer_offs[tx.ms_sg0 + k];
+        c.enc.insert(c.enc.end(), e, e + 32);
+      }
+      c.from_wire = true;
+      s->ms_changed[aid] = 1;
+    }
+
     term_counts[i] = terms;
     draw_counts[i] = (int32_t)(tx.n_comms + tx.n_transfers + 2);
   }
   return RC_OK;
+}
+
+// Changed-multisig-config emission for the caller's write-back: fills
+// per-account changed/threshold/count and returns the total signer-offset
+// slots a subsequent xhe_blk_ms_emit needs.
+int xhe_blk_ms_sizes(BlockSession *s, uint8_t *changed, uint8_t *thr,
+                     int32_t *nsg) {
+  int total = 0;
+  for (size_t a = 0; a < s->mscfgs.size(); ++a) {
+    changed[a] = s->ms_changed[a];
+    const MsCfg &c = s->mscfgs[a];
+    thr[a] = c.threshold;
+    nsg[a] = c.present ? (int32_t)c.rows.size() : 0;
+    if (changed[a] && c.present) total += (int32_t)c.rows.size();
+  }
+  return total;
+}
+
+// Flattened wire offsets of changed configs' signers (changed accounts in
+// account-id order).  Changed configs always come from in-block payloads,
+// so every signer has a wire offset.
+void xhe_blk_ms_emit(BlockSession *s, uint32_t *offs) {
+  size_t w = 0;
+  for (size_t a = 0; a < s->mscfgs.size(); ++a) {
+    if (!s->ms_changed[a] || !s->mscfgs[a].present) continue;
+    const MsCfg &c = s->mscfgs[a];
+    for (size_t k = 0; k < c.woffs.size(); ++k) offs[w++] = c.woffs[k];
+  }
 }
 
 // Final-state sizes for the caller's write-back allocation.
@@ -1031,6 +1321,14 @@ int xhe_blk_fold_group(BlockSession *s, size_t tx_lo, size_t n,
       t_append(&st, "dom-sep", 7, (const uint8_t *)"burn-proof", 10);
       t_append(&st, "asset", 5, wire + tx.burn_off, 32);
       t_append_u64(&st, "amount", 6, tx.burn_amount);
+    } else if (!rc && tx.kind == 4) {
+      // multisig payload appends (verify.rs:420-424); contract payloads
+      // (kinds 2/3) append nothing (verify.rs:427 `_ => ()`)
+      t_append(&st, "dom-sep", 7, (const uint8_t *)"multisig-proof", 14);
+      t_append_u64(&st, "threshold", 9, tx.ms_threshold);
+      for (uint32_t k = 0; k < tx.ms_n_signers; ++k)
+        t_append(&st, "signer", 6,
+                 wire + s->ms_signer_offs[tx.ms_sg0 + k], 32);
     }
 
     // 3. aggregated range proof (bp fold runs the rangeproof transcript)
@@ -1077,18 +1375,33 @@ int xhe_blk_fold_group(BlockSession *s, size_t tx_lo, size_t n,
       }
     }
 
-    // 4. signature lanes: s*H + (-e)*P, R checked against SHA3 at the end
+    // 4. signature lanes: s*H + (-e)*P, R checked against SHA3 at the
+    // end.  Lane 0 = the tx's own signature; lanes 1.. = the CHECKED
+    // multisig cosigner signatures (bulk mode; tx_nsig filled by the
+    // state pass, always one lane per tx otherwise).
+    size_t lb = tx.sig_lane0 - s->txs[tx_lo].sig_lane0;
+    uint32_t nms = s->tx_nsig.empty() ? 0 : s->tx_nsig[tx_lo + ti];
     if (!rc) {
       u64 sred[4], eneg[4];
       reduce32(wire + tx.sig_off, sred);
-      store(sig_s + 32 * ti, sred);
+      store(sig_s + 32 * lb, sred);
       sub_mod(zero4, tx.e_red, eneg);
-      store(sig_e_neg + 32 * ti, eneg);
-      sig_rows[ti] = tx.src_row;
+      store(sig_e_neg + 32 * lb, eneg);
+      sig_rows[lb] = tx.src_row;
+      for (uint32_t k = 0; k < nms; ++k) {
+        const SigCheck &sc = s->sig_checks[s->tx_sig0[tx_lo + ti] + k];
+        reduce32(wire + sc.sig_off, sred);
+        store(sig_s + 32 * (lb + 1 + k), sred);
+        sub_mod(zero4, sc.e_red, eneg);
+        store(sig_e_neg + 32 * (lb + 1 + k), eneg);
+        sig_rows[lb + 1 + k] = sc.row;
+      }
     } else {
-      std::memset(sig_s + 32 * ti, 0, 32);
-      std::memset(sig_e_neg + 32 * ti, 0, 32);
-      sig_rows[ti] = (int32_t)extra_base;  // identity
+      for (uint32_t k = 0; k < 1 + nms; ++k) {
+        std::memset(sig_s + 32 * (lb + k), 0, 32);
+        std::memset(sig_e_neg + 32 * (lb + k), 0, 32);
+        sig_rows[lb + k] = (int32_t)extra_base;  // identity
+      }
     }
 
     rcs[ti] = rc;
@@ -1101,18 +1414,24 @@ int xhe_blk_fold_group(BlockSession *s, size_t tx_lo, size_t n,
   return any;
 }
 
-// Final Schnorr hash check: e == SHA3-512(pk || preimage || R) reduced
-// wide, for txs [tx_lo, tx_lo+n) with device-compressed R rows (n x 32).
-// ok_out[i] = 1/0.  Returns number of failures.
+// Final Schnorr hash checks for txs [tx_lo, tx_lo+n).  r_bytes holds one
+// device-compressed R row per SIGNATURE LANE (main sig + checked multisig
+// cosigners, the fold pass's lane order); ok_out is per lane.  Main lane:
+// e == SHA3-512(pk || preimage || R); multisig lane: e == SHA3-512(
+// pk_signer || blake3(preimage[..multisig_offset]) || R) — the cosigner
+// message is the 32-byte tx hash (builder.rs:190-195, verify.rs:267).
+// Returns number of failures.
 int xhe_blk_sig_check(BlockSession *s, size_t tx_lo, size_t n,
                       const uint8_t *r_bytes, int32_t *ok_out) {
   int bad = 0;
+  const size_t RATE = 72;
+  uint32_t lane0 = s->txs[tx_lo].sig_lane0;
   for (size_t i = 0; i < n; ++i) {
     const TxD &tx = s->txs[tx_lo + i];
-    // streaming SHA3-512 over pk || preimage || R without concatenation
+    size_t lb = tx.sig_lane0 - lane0;
+    // streaming SHA3-512 over pk || msg || R without concatenation
     uint8_t st[200] = {0};
     size_t pos = 0;
-    const size_t RATE = 72;
     auto absorb = [&](const uint8_t *d, size_t len) {
       for (size_t k = 0; k < len; ++k) {
         st[pos++] ^= d[k];
@@ -1124,15 +1443,31 @@ int xhe_blk_sig_check(BlockSession *s, size_t tx_lo, size_t n,
     };
     absorb(s->wire + tx.src_off, 32);
     absorb(s->preimage.data() + tx.pre_off, tx.pre_len);
-    absorb(r_bytes + 32 * i, 32);
+    absorb(r_bytes + 32 * lb, 32);
     st[pos] ^= 0x06;
     st[RATE - 1] ^= 0x80;
     xhe_keccak_f1600(st);
     u64 e2[4];
     wide_reduce(st, e2);
     int ok = !std::memcmp(e2, tx.e_red, 32);
-    ok_out[i] = ok;
+    ok_out[lb] = ok;
     if (!ok) ++bad;
+    uint32_t nms = s->tx_nsig.empty() ? 0 : s->tx_nsig[tx_lo + i];
+    for (uint32_t k = 0; k < nms; ++k) {
+      const SigCheck &sc = s->sig_checks[s->tx_sig0[tx_lo + i] + k];
+      std::memset(st, 0, sizeof(st));
+      pos = 0;
+      absorb(sc.pk, 32);
+      absorb(&s->ms_hash[32 * (tx_lo + i)], 32);
+      absorb(r_bytes + 32 * (lb + 1 + k), 32);
+      st[pos] ^= 0x06;
+      st[RATE - 1] ^= 0x80;
+      xhe_keccak_f1600(st);
+      wide_reduce(st, e2);
+      ok = !std::memcmp(e2, sc.e_red, 32);
+      ok_out[lb + 1 + k] = ok;
+      if (!ok) ++bad;
+    }
   }
   return bad;
 }

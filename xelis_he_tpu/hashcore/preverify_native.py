@@ -34,6 +34,7 @@ RC_STATE_REF = 6
 RC_STATE_DECOMP = 7
 RC_NONCE = 8
 RC_COMMASSETS = 9
+RC_MSIG = 10
 
 
 def _build() -> pathlib.Path:
@@ -118,12 +119,23 @@ lib.xhe_blk_state_run.argtypes = [
     _vp,       # session
     _vp,       # uint64 nonces (n_accounts,)
     _vp, _vp,  # init blob, uint64 offsets (n_pairs+1)
+    _vp, _vp,  # multisig-config blob, uint64 offsets (n_accounts+1)
     _i64, _sz,  # extra_base, n_extras
     _vp, _sz, _vp,  # unk_coords, unk_cap, int32 n_unk_out*
     _vp, _vp,  # int32 term_counts, int32 draw_counts (n_txs each)
+    _vp,       # int32 sig_counts (n_txs,): 1 + checked multisig lanes
     _vp, _vp,  # int32 first_bad*, uint64 bad_aux*
 ]
 lib.xhe_blk_state_run.restype = ctypes.c_int
+
+lib.xhe_blk_ms_sizes.argtypes = [
+    _vp,
+    _vp, _vp, _vp,  # uint8 changed, uint8 thr, int32 nsg (n_accounts each)
+]
+lib.xhe_blk_ms_sizes.restype = ctypes.c_int  # total changed signer slots
+
+lib.xhe_blk_ms_emit.argtypes = [_vp, _vp]  # uint32 signer wire offsets
+lib.xhe_blk_ms_emit.restype = None
 
 lib.xhe_blk_state_sizes.argtypes = [_vp, _vp, _vp]  # int32 c_lens, d_lens
 lib.xhe_blk_state_sizes.restype = None

@@ -778,6 +778,29 @@ def _bulk_state_setup(pv, sess, state, wire_blob, accel, txs, enc, n_rows):
     for i, pk in enumerate(pks):
         if send_list[i]:
             nonces[i] = get_nonce(pk)
+
+    # initial multisig configs (sender accounts only — verify.rs:258 reads
+    # the config for tx sources): u8 present, u8 threshold, u8 n, n x 32B
+    get_ms = state.get_multisig_for_account
+    ms_parts: list[bytes] = []
+    ms_offs = np.zeros(n_acc + 1, dtype=np.uint64)
+    ms_len = 0
+    n_init_signers = 0
+    for i, pk in enumerate(pks):
+        if send_list[i]:
+            cfg = get_ms(pk)
+            if cfg is not None:
+                signers, threshold = cfg
+                if threshold > 255 or len(signers) > 255:
+                    return None  # out of u8 range: generic path
+                ms_parts.append(
+                    bytes([1, threshold, len(signers)])
+                    + b"".join(s.data for s in signers)
+                )
+                ms_len += 3 + 32 * len(signers)
+                n_init_signers += len(signers)
+        ms_offs[i + 1] = ms_len
+    ms_blob = b"".join(ms_parts)
     asset_cache: dict = {}
     pair_assets = []
     for o in pair_asset_off.tolist():
@@ -833,17 +856,21 @@ def _bulk_state_setup(pv, sess, state, wire_blob, accel, txs, enc, n_rows):
         offs[p + 1] = blob_len
     blob = b"".join(parts)
 
+    unk_cap += n_init_signers  # config signer encs may be out-of-block
     unk_coords = np.zeros(max(1, 128 * unk_cap), dtype=np.uint8)
     n_unk = np.zeros(1, dtype=np.int32)
     term_counts = np.zeros(n_txs, dtype=np.int32)
     draw_counts = np.zeros(n_txs, dtype=np.int32)
+    sig_counts = np.ones(n_txs, dtype=np.int32)
     first_bad = np.full(1, -1, dtype=np.int32)
     bad_aux = np.zeros(1, dtype=np.uint64)
     rc = pv.lib.xhe_blk_state_run(
         sess, nonces.ctypes.data, blob, offs.ctypes.data,
+        ms_blob, ms_offs.ctypes.data,
         extra_base, len(extras),
         unk_coords.ctypes.data, unk_cap, n_unk.ctypes.data,
         term_counts.ctypes.data, draw_counts.ctypes.data,
+        sig_counts.ctypes.data,
         first_bad.ctypes.data, bad_aux.ctypes.data,
     )
 
@@ -911,6 +938,32 @@ def _bulk_state_setup(pv, sess, state, wire_blob, accel, txs, enc, n_rows):
             if send_list[i]:
                 upd_n(pk, nl[i])
 
+        # multisig configs changed by in-block payloads (empty signer set =
+        # delete, mock.set_multisig_for_account semantics)
+        ms_changed = np.zeros(max(1, n_acc), dtype=np.uint8)
+        ms_thr = np.zeros(max(1, n_acc), dtype=np.uint8)
+        ms_nsg = np.zeros(max(1, n_acc), dtype=np.int32)
+        total_sg = pv.lib.xhe_blk_ms_sizes(
+            sess, ms_changed.ctypes.data, ms_thr.ctypes.data,
+            ms_nsg.ctypes.data,
+        )
+        if ms_changed.any():
+            sg_offs = np.zeros(max(1, total_sg), dtype=np.uint32)
+            pv.lib.xhe_blk_ms_emit(sess, sg_offs.ctypes.data)
+            so = sg_offs.tolist()
+            w = 0
+            set_ms = state.set_multisig_for_account
+            for i, pk in enumerate(pks):
+                if not ms_changed[i]:
+                    continue
+                k = int(ms_nsg[i])
+                signers = [
+                    CompressedPubkey(wire_blob[o : o + 32])
+                    for o in so[w : w + k]
+                ]
+                w += k
+                set_ms(pk, signers, int(ms_thr[i]))
+
     if rc != 0:
         if int(first_bad[0]) >= 0:
             # failure mid-stream: keep mutations up to the failing tx
@@ -922,6 +975,8 @@ def _bulk_state_setup(pv, sess, state, wire_blob, accel, txs, enc, n_rows):
                 )
             if rc == pv.RC_COMMASSETS:
                 raise ProofVerificationError("format", "commitment assets")
+            if rc == pv.RC_MSIG:
+                raise ProofVerificationError("format", "multisig")
         if rc == pv.RC_STATE_DECOMP:
             raise DecompressionError("invalid state ciphertext encoding")
         return None  # init-parse shapes we don't cover: generic path
@@ -953,6 +1008,7 @@ def _bulk_state_setup(pv, sess, state, wire_blob, accel, txs, enc, n_rows):
     return {
         "term_counts": term_counts,
         "draw_counts": draw_counts,
+        "sig_counts": sig_counts,
         "extras_dev": extras_dev,
         "writeback": writeback,
     }
@@ -979,10 +1035,21 @@ def _fused_native(accel, txs, state, metrics, span):
     from .wire import encode_transaction
 
     n_txs = len(txs)
-    # state-required multisig forces the Python path (checked before any
-    # mutation; tx-carried multisig/contract payloads are caught by collect)
+    from .model import MultiSigPayload as _MSP
+
+    # Multisig support lives in the native BULK state pass (config replay +
+    # cosigner signature lanes).  The generic per-chunk state pass has no
+    # multisig machinery, so without bulk any multisig feature — a config
+    # in the state, carried signatures, or a config payload — routes to the
+    # Python fused path (which handles all payload kinds since round 5).
+    bulk_possible = getattr(state, "supports_bulk_block", False) and (
+        os.environ.get("XELIS_BULK_STATE", "1") != "0"
+    )
     get_ms = state.get_multisig_for_account
-    if any(get_ms(tx.source) is not None for tx in txs):
+    needs_ms = any(
+        tx.multisig is not None or isinstance(tx.data, _MSP) for tx in txs
+    ) or any(get_ms(tx.source) is not None for tx in txs)
+    if needs_ms and not bulk_possible:
         return False
 
     with span("verify_batch.collect"):
@@ -1020,13 +1087,19 @@ def _fused_native(accel, txs, state, metrics, span):
         metrics.incr("verify_batch.decompressed_points", int(n_rows))
 
         bulk_ctx = None
-        if getattr(state, "supports_bulk_block", False) and os.environ.get(
-            "XELIS_BULK_STATE", "1"
-        ) != "0":
+        if bulk_possible:
             with span("verify_batch.state_native"):
                 bulk_ctx = _bulk_state_setup(
                     pv, sess, state, wire_blob, accel, txs, enc, n_rows
                 )
+        if bulk_ctx is None and needs_ms:
+            # bulk shape fallback with multisig in play: only the Python
+            # fused path can finish this block — undo the block begin
+            from ..types import clear_decompress_cache
+
+            clear_decompress_cache()
+            accel.end_block()
+            return False
 
         max_nm = 64 * int(lane_counts[:, 2].max())
         # chunk sizing: with the bulk state pass the host gap between chunk
@@ -1089,6 +1162,7 @@ def _fused_native(accel, txs, state, metrics, span):
                 # state pass already ran natively for the whole block
                 term_counts = bulk_ctx["term_counts"][lo:hi]
                 draw_counts = bulk_ctx["draw_counts"][lo:hi]
+                sig_counts_c = bulk_ctx["sig_counts"][lo:hi]
                 blob = None
                 extras = []
                 tx_offs = np.zeros(nc + 1, dtype=np.uint64)
@@ -1165,6 +1239,7 @@ def _fused_native(accel, txs, state, metrics, span):
                     )
                     tx_offs[k + 1] = blob_len
                 blob = b"".join(parts)
+                sig_counts_c = np.ones(nc, dtype=np.int32)  # no multisig
 
             with span("verify_batch.prep_lanes"):
                 # ---- allocate chunk outputs, split into worker sub-groups
@@ -1179,13 +1254,16 @@ def _fused_native(accel, txs, state, metrics, span):
                 np.cumsum(term_counts, out=t_cum[1:])
                 ns_c = int(s_cum[-1])
                 nr_c = int(r_cum[-1])
+                sig_cum = np.zeros(nc + 1, dtype=np.int64)
+                np.cumsum(sig_counts_c, out=sig_cum[1:])
+                nk_c = int(sig_cum[-1])  # 1 + checked-multisig lanes per tx
                 sigma_sc = np.empty((ns_c, 32), dtype=np.uint8)
                 sigma_rows = np.empty(ns_c, dtype=np.int32)
                 range_sc = np.empty((nr_c, 32), dtype=np.uint8)
                 range_rows = np.empty(nr_c, dtype=np.int32)
-                sig_s = np.empty((nc, 32), dtype=np.uint8)
-                sig_e = np.empty((nc, 32), dtype=np.uint8)
-                sig_rows = np.empty(nc, dtype=np.int32)
+                sig_s = np.empty((nk_c, 32), dtype=np.uint8)
+                sig_e = np.empty((nk_c, 32), dtype=np.uint8)
+                sig_rows = np.empty(nk_c, dtype=np.int32)
                 import secrets
 
                 rand = secrets.token_bytes(64 * int(d_cum[-1]))
@@ -1217,7 +1295,8 @@ def _fused_native(accel, txs, state, metrics, span):
                         rand_buf.ctypes.data + 64 * int(d_cum[slo]),
                         sigma_sc[int(s_cum[slo]):], sigma_rows[int(s_cum[slo]):],
                         range_sc[int(r_cum[slo]):], range_rows[int(r_cum[slo]):],
-                        sig_s[slo:], sig_e[slo:], sig_rows[slo:],
+                        sig_s[int(sig_cum[slo]):], sig_e[int(sig_cum[slo]):],
+                        sig_rows[int(sig_cum[slo]):],
                         unk, ub, n_unk,
                     ))
                 for job in jobs[1:]:
@@ -1266,7 +1345,7 @@ def _fused_native(accel, txs, state, metrics, span):
                 st = accel.chunk_lanes_begin_rows(
                     (sigma_sc, sigma_rows),
                     (range_sc, range_rows),
-                    (sig_s, sig_e, sig_rows, nc),
+                    (sig_s, sig_e, sig_rows, nk_c),
                     ex_rows,
                     floors=(
                         (
@@ -1317,10 +1396,12 @@ def _fused_native(accel, txs, state, metrics, span):
             )
 
         def sig_hash_fn(r_rows: np.ndarray) -> bool:
+            # r_rows: one device-compressed R per SIGNATURE LANE (main sig
+            # + checked multisig cosigners), in global lane order
             r_cont = np.ascontiguousarray(r_rows)  # keep alive past the call
-            ok = np.zeros(r_cont.shape[0], dtype=np.int32)
+            ok = np.zeros(max(1, r_cont.shape[0]), dtype=np.int32)
             bad = pv.lib.xhe_blk_sig_check(
-                sess, 0, r_cont.shape[0], r_cont.ctypes.data, ok.ctypes.data
+                sess, 0, n_txs, r_cont.ctypes.data, ok.ctypes.data
             )
             return bad == 0
 
