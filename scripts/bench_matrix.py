@@ -61,6 +61,98 @@ def build_block(n_txs, n_transfers):
     return txs, ledger, build_s
 
 
+def build_mixed_block(n_txs):
+    """SURVEY §7 configs[4]: a mixed block — 80% plain transfers, 10%
+    multi-asset transfers (native + second asset), 10% multisig spends
+    (1-of-1 cosigner, config pre-set in the ledger)."""
+    import concurrent.futures
+
+    from xelis_he_tpu import (
+        Hash,
+        NATIVE_ASSET,
+        TransactionBuilder,
+        TransferBuilder,
+        TransfersBuilder,
+    )
+    from xelis_he_tpu.mock import Account, GenerationBalance, Ledger
+
+    ASSET_2 = Hash(b"\x01" + b"\x00" * 31)
+    ledger = Ledger()
+    receiver = Account([(NATIVE_ASSET, 0), (ASSET_2, 0)])
+    pk_r = ledger.add_account(receiver)
+    cosigner = Account([(NATIVE_ASSET, 0)])
+    pk_cs = ledger.add_account(cosigner)
+
+    t0 = time.perf_counter()
+    jobs = []
+    for i in range(n_txs):
+        kind = i % 10  # 0-7 plain, 8 multi-asset, 9 multisig spend
+        if kind == 8:
+            sender = Account([(NATIVE_ASSET, 10_000_000), (ASSET_2, 10_000_000)])
+            pk_s = ledger.add_account(sender)
+            builder = TransactionBuilder(
+                version=1, source=pk_s,
+                data=TransfersBuilder(
+                    [
+                        TransferBuilder(asset=NATIVE_ASSET, amount=10, dest_pubkey=pk_r),
+                        TransferBuilder(asset=ASSET_2, amount=20, dest_pubkey=pk_r),
+                    ]
+                ),
+                fee=1, nonce=0,
+            )
+            bal = GenerationBalance(
+                {NATIVE_ASSET: 10_000_000, ASSET_2: 10_000_000}, sender
+            )
+
+            def job(builder=builder, bal=bal, kp=sender.keypair):
+                return builder.build(bal, kp)
+
+        else:
+            sender = Account([(NATIVE_ASSET, 10_000_000)])
+            pk_s = ledger.add_account(sender)
+            builder = TransactionBuilder(
+                version=1, source=pk_s,
+                data=TransfersBuilder(
+                    [TransferBuilder(asset=NATIVE_ASSET, amount=10, dest_pubkey=pk_r)]
+                ),
+                fee=1, nonce=0,
+            )
+            bal = GenerationBalance({NATIVE_ASSET: 10_000_000}, sender)
+            if kind == 9:
+                ledger.set_multisig_for_account(pk_s, [pk_cs], 1)
+
+                def job(builder=builder, bal=bal, kp=sender.keypair,
+                        cs=cosigner.keypair):
+                    unsigned = builder.build_unsigned(bal, kp)
+                    h = unsigned.hash()
+                    unsigned.set_multisig([(0, cs.sign(h.data))])
+                    return unsigned.sign(kp)
+
+            else:
+
+                def job(builder=builder, bal=bal, kp=sender.keypair):
+                    return builder.build(bal, kp)
+
+        jobs.append(job)
+
+    try:
+        from xelis_he_tpu.hashcore.prover_native import lib as _plib
+    except Exception:
+        _plib = None
+    if _plib is not None:
+        _plib.xhe_ipp_set_threads(1)
+    try:
+        first = jobs[0]()
+        with concurrent.futures.ThreadPoolExecutor(os.cpu_count() or 2) as ex:
+            rest = list(ex.map(lambda j: j(), jobs[1:]))
+    finally:
+        if _plib is not None:
+            _plib.xhe_ipp_set_threads(2)
+    txs = [first, *rest]
+    build_s = time.perf_counter() - t0
+    return txs, ledger, build_s
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default=os.environ.get("XELIS_BENCH_BACKEND", "jax"))
@@ -89,7 +181,7 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    sections = os.environ.get("XELIS_MATRIX_SECTIONS", "A,B,C").split(",")
+    sections = os.environ.get("XELIS_MATRIX_SECTIONS", "A,B,C,M").split(",")
 
     # A. single tx, n transfers (create + verify); one throwaway build
     # first so the timed number is steady-state (generator chains, packed
@@ -112,7 +204,7 @@ def main():
     batches = tuple(
         int(x)
         for x in os.environ.get(
-            "XELIS_MATRIX_BATCHES", "1,4,16,64,100,256,1000,2500"
+            "XELIS_MATRIX_BATCHES", "1,4,16,64,100,256,1000,2500,10000"
         ).split(",")
     )
     for n in batches if "B" in sections else ():
@@ -120,6 +212,28 @@ def main():
         best = timed_verify(txs, ledger)
         rec = {
             "config": f"batch_{n}x1",
+            "build_ms_per_tx": round(build_s * 1000 / n, 2),
+            "verify_ms_per_tx": round(best * 1000 / n, 4),
+            "verify_ms_total": round(best * 1000, 2),
+        }
+        if n <= 100 and args.backend == "jax":
+            # fixed remote-tunnel sync (~20-30 ms/call on axon) dominates
+            # small batches; see the tunnel_control row for the raw RTT
+            rec["note"] = "includes fixed tunnel RTT; see tunnel_control"
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # M. SURVEY §7 configs[4]: 10k mixed block (80% plain transfers, 10%
+    # multi-asset, 10% multisig spends).  Target: within 1.5x of the
+    # plain-transfer batch_10000x1 row (VERDICT r4 item 3).
+    if "M" in sections:
+        n = int(os.environ.get("XELIS_MATRIX_MIXED_TXS", "10000"))
+        txs, ledger, build_s = build_mixed_block(n)
+        best = timed_verify(txs, ledger)
+        rec = {
+            "config": f"mixed_{n}",
+            "share_multisig": 0.1,
+            "share_multiasset": 0.1,
             "build_ms_per_tx": round(build_s * 1000 / n, 2),
             "verify_ms_per_tx": round(best * 1000 / n, 4),
             "verify_ms_total": round(best * 1000, 2),
@@ -159,9 +273,12 @@ def main():
             best = timed_verify(txs, ledger)
             rec = {
                 "config": f"fold_threads_{threads}_{n}x1",
+                "host_cores": os.cpu_count(),
                 "verify_ms_per_tx": round(best * 1000 / n, 4),
                 "verify_ms_total": round(best * 1000, 2),
             }
+            if threads > (os.cpu_count() or 2):
+                rec["note"] = "threads exceed host cores; row not meaningful"
             results.append(rec)
             print(json.dumps(rec), flush=True)
         os.environ.pop("XELIS_FOLD_THREADS", None)
