@@ -1392,13 +1392,17 @@ class Accelerator:
         )
 
     def fused_chunks_finish(self, chunk_states, shared_sigma, shared_range,
-                            sig_entries, sig_hash_fn=None):
+                            sig_entries, sig_hash_fn=None, pre_pull_fn=None):
         """Dispatch the shared lanes, combine with every chunk's partials on
         device, and pull the packed result — the block's single host sync.
 
         ``sig_hash_fn``: native-path replacement for the per-entry Python
         SHA3 loop — called once with the concatenated REAL R rows
-        ((total_sigs, 32) uint8, chunk padding stripped), returns bool."""
+        ((total_sigs, 32) uint8, chunk padding stripped), returns bool.
+        ``pre_pull_fn``: host work to overlap with the final combine's
+        device execution + tunnel round trip — runs after the async
+        dispatch, before the blocking pull (e.g. the bulk state
+        write-back, ~10 ms at 1000 txs)."""
         import hashlib
 
         from .. import scalars as sc
@@ -1483,6 +1487,8 @@ class Accelerator:
                 sigma_parts, range_parts, r_accs,
                 block_rows, gens_rows, extra_rows, idx_arr, scal, valid,
             )
+        if pre_pull_fn is not None:
+            pre_pull_fn()
         with span("fused_check.pull"):
             out = _np.asarray(pending)  # the single host sync
         all_valid = bool(out[0, 2])

@@ -1254,6 +1254,95 @@ def _consts13_array() -> _np.ndarray:
     return out
 
 
+# niels-form table entries (dalek ProjectiveNielsPoint): precomputing
+# (Y+X, Y-X, 2d*T, 2Z) per table entry moves one mul (d2*T) and two
+# add/subs out of every window-add and into the once-per-tile table build
+# — the window add drops from 9 muls + 4 pre-add/subs to 8 muls + 2.
+
+
+def _to_niels_t(p, jnp, consts):
+    d2, pad, bump = consts
+    X, Y, Z, T = p
+    return (
+        _add_t(Y, X, jnp),
+        _sub_t(Y, X, jnp, pad, bump),
+        _mul_t(T, d2, jnp),
+        _add_t(Z, Z, jnp),
+    )
+
+
+def _point_add_niels_t(p, q, jnp, consts):
+    """acc (extended) + niels entry -> extended (add-2008-hwcd-3, a=-1)."""
+    _, pad, bump = consts
+    X1, Y1, Z1, T1 = p
+    YpX, YmX, T2d, Z2 = q
+    A = _mul_t(_sub_t(Y1, X1, jnp, pad, bump), YmX, jnp)
+    B = _mul_t(_add_t(Y1, X1, jnp), YpX, jnp)
+    C = _mul_t(T1, T2d, jnp)
+    D = _mul_t(Z1, Z2, jnp)
+    E = _sub_t(B, A, jnp, pad, bump)
+    F = _sub_t(D, C, jnp, pad, bump)
+    G = _add_t(D, C, jnp)
+    H = _add_t(B, A, jnp)
+    return (
+        _mul_t(E, F, jnp),
+        _mul_t(G, H, jnp),
+        _mul_t(F, G, jnp),
+        _mul_t(E, H, jnp),
+    )
+
+
+def _identity_niels_cols(T, jnp):
+    """Niels encoding of the identity: (1, 1, 0, 2) — adding it to the
+    accumulator yields the same point (coordinates scaled by 2Z)."""
+    zero = jnp.zeros((NLIMBS, T), dtype=jnp.uint32)
+    one = jnp.concatenate([jnp.ones((1, T), dtype=jnp.uint32), zero[1:]], axis=0)
+    two = jnp.concatenate(
+        [jnp.full((1, T), 2, dtype=jnp.uint32), zero[1:]], axis=0
+    )
+    return (one, one, zero, two)
+
+
+def _to_niels13(p, jnp, consts):
+    d2, pad, bump = consts
+    X, Y, Z, T = p
+    return (
+        _add13(Y, X, jnp),
+        _sub13(Y, X, jnp, pad, bump),
+        _mul13(T, d2, jnp),
+        _add13(Z, Z, jnp),
+    )
+
+
+def _point_add_niels13(p, q, jnp, consts):
+    _, pad, bump = consts
+    X1, Y1, Z1, T1 = p
+    YpX, YmX, T2d, Z2 = q
+    A = _mul13(_sub13(Y1, X1, jnp, pad, bump), YmX, jnp)
+    B = _mul13(_add13(Y1, X1, jnp), YpX, jnp)
+    C = _mul13(T1, T2d, jnp)
+    D = _mul13(Z1, Z2, jnp)
+    E = _sub13(B, A, jnp, pad, bump)
+    F = _sub13(D, C, jnp, pad, bump)
+    G = _add13(D, C, jnp)
+    H = _add13(B, A, jnp)
+    return (
+        _mul13(E, F, jnp),
+        _mul13(G, H, jnp),
+        _mul13(F, G, jnp),
+        _mul13(E, H, jnp),
+    )
+
+
+def _identity_niels13_cols(T, jnp):
+    zero = jnp.zeros((NL13, T), dtype=jnp.uint32)
+    one = jnp.concatenate([jnp.ones((1, T), dtype=jnp.uint32), zero[1:]], axis=0)
+    two = jnp.concatenate(
+        [jnp.full((1, T), 2, dtype=jnp.uint32), zero[1:]], axis=0
+    )
+    return (one, one, zero, two)
+
+
 # ---------------------------------------------------------------------------
 # quad-lane windowed kernel: 4 scalar-muls share one accumulator
 # ---------------------------------------------------------------------------
@@ -1302,9 +1391,13 @@ def _windowed_kernel_k4(consts_ref, digits_ref, pts_ref, out_ref):
         t6 = _point_double_t(t3, jnp, consts)
         t7 = _point_add_t(t6, t1, jnp, consts)
         t8 = _point_double_t(t4, jnp, consts)
-        tables.append((t1, t2, t3, t4, t5, t6, t7, t8))
+        tables.append(tuple(
+            _to_niels_t(t, jnp, consts)
+            for t in (t1, t2, t3, t4, t5, t6, t7, t8)
+        ))
 
     ident = _identity_cols(T, jnp)
+    ident_n = _identity_niels_cols(T, jnp)
 
     def step(kk, acc):
         w = N_WINDOWS - 1 - kk
@@ -1317,17 +1410,18 @@ def _windowed_kernel_k4(consts_ref, digits_ref, pts_ref, out_ref):
             val = e.astype(jnp.int32) - 8
             neg = (val < 0).astype(jnp.uint32)
             k_abs = jnp.where(val < 0, -val, val).astype(jnp.uint32)
-            sel = ident
+            sel = ident_n
             for idx, entry in enumerate(tables[k]):
                 sel = _point_select_t(k_abs == jnp.uint32(idx + 1), entry, sel, jnp)
-            sx, sy, sz, st = sel
+            ypx, ymx, t2d, z2 = sel
+            # -Q in niels form: swap YpX/YmX, negate 2d*T, keep 2Z
             sel = (
-                _select_t(neg, _neg_t(sx, jnp, consts), sx, jnp),
-                sy,
-                sz,
-                _select_t(neg, _neg_t(st, jnp, consts), st, jnp),
+                _select_t(neg, ymx, ypx, jnp),
+                _select_t(neg, ypx, ymx, jnp),
+                _select_t(neg, _neg_t(t2d, jnp, consts), t2d, jnp),
+                z2,
             )
-            acc = _point_add_t(acc, sel, jnp, consts)
+            acc = _point_add_niels_t(acc, sel, jnp, consts)
         return acc
 
     acc = jax.lax.fori_loop(0, N_WINDOWS, step, ident)
@@ -1398,9 +1492,13 @@ def _windowed_kernel_k4_fe13(c13_ref, digits_ref, pts_ref, out_ref):
         t6 = _point_double13(t3, jnp, consts)
         t7 = _point_add13(t6, t1, jnp, consts)
         t8 = _point_double13(t4, jnp, consts)
-        tables.append((t1, t2, t3, t4, t5, t6, t7, t8))
+        tables.append(tuple(
+            _to_niels13(t, jnp, consts)
+            for t in (t1, t2, t3, t4, t5, t6, t7, t8)
+        ))
 
     ident = _identity13_cols(T, jnp)
+    ident_n = _identity_niels13_cols(T, jnp)
 
     def step(kk, acc):
         w = N_WINDOWS - 1 - kk
@@ -1413,17 +1511,17 @@ def _windowed_kernel_k4_fe13(c13_ref, digits_ref, pts_ref, out_ref):
             val = e.astype(jnp.int32) - 8
             neg = (val < 0).astype(jnp.uint32)
             k_abs = jnp.where(val < 0, -val, val).astype(jnp.uint32)
-            sel = ident
+            sel = ident_n
             for idx, entry in enumerate(tables[k]):
                 sel = _point_select_t(k_abs == jnp.uint32(idx + 1), entry, sel, jnp)
-            sx, sy, sz, st = sel
+            ypx, ymx, t2d, z2 = sel
             sel = (
-                _select_t(neg, _neg13(sx, jnp, consts), sx, jnp),
-                sy,
-                sz,
-                _select_t(neg, _neg13(st, jnp, consts), st, jnp),
+                _select_t(neg, ymx, ypx, jnp),
+                _select_t(neg, ypx, ymx, jnp),
+                _select_t(neg, _neg13(t2d, jnp, consts), t2d, jnp),
+                z2,
             )
-            acc = _point_add13(acc, sel, jnp, consts)
+            acc = _point_add_niels13(acc, sel, jnp, consts)
         return acc
 
     acc = jax.lax.fori_loop(0, N_WINDOWS, step, ident)
@@ -1462,10 +1560,18 @@ def _windowed_call_k4_fe13(n_slots: int, interpret: bool):
 
 
 def use_fe13() -> bool:
-    """Experimental 13-bit quad kernel (default off; XELIS_FE13=1)."""
+    """20x13-bit no-split quad kernel — DEFAULT ON since round 5
+    (XELIS_FE13=0 reverts to the 18x15-bit tier).
+
+    Promoted after tests/test_fe13.py verified the tier bit-exact on
+    hardware: transposed algebra vs pyref (edge values + relaxed-bound
+    operands) and quad-kernel slot sums identical to the 15-bit kernel
+    over an edge-scalar stress batch.  Isolated field mul measures
+    2148 vs 1328 Mmul/s (1.62x, scripts/bench_fe13.py); end-kernel
+    ~650-690 vs ~550-600 kpts/s."""
     import os
 
-    return os.environ.get("XELIS_FE13", "0") == "1"
+    return os.environ.get("XELIS_FE13", "1") == "1"
 
 
 def msm_windowed_lanes_pallas_k4(points4, digits4, interpret: bool = False):

@@ -1106,10 +1106,16 @@ def _fused_native(accel, txs, state, metrics, span):
         # dispatches is just the fold drain; if that gap falls under the
         # tunnel RTT (~22 ms) the remote runtime's demand/dispatch pipeline
         # degrades badly (measured: 4x256-tx chunks 0.51 ms/tx vs 2x500
-        # 0.21 at 1000 txs).  Keep bulk chunks >=512 txs so the fold gap
-        # stays above RTT; the generic path's Python state pass already
-        # provides the gap at 256.
-        default_chunk = "512" if bulk_ctx is not None else "256"
+        # 0.21 at 1000 txs).  Keep bulk chunks >=334 txs so the fold gap
+        # stays above RTT; around 1000 txs THREE chunks measure best
+        # (0.150 vs 0.158 ms/tx at 2x512, round 5) — more fold/device
+        # overlap without starving the dispatch pipeline.
+        if bulk_ctx is not None:
+            default_chunk = (
+                max(200, -(-n_txs // 3)) if n_txs <= 1536 else 512
+            )
+        else:
+            default_chunk = 256
         chunk_txs = max(
             1, int(os.environ.get("XELIS_VERIFY_CHUNK_TXS", default_chunk))
         )
@@ -1364,12 +1370,15 @@ def _fused_native(accel, txs, state, metrics, span):
             n_sigma_total += ns_c
             n_range_total += nr_c
 
-        if bulk_ctx is not None:
-            # final balances/nonces back to the state while the device
-            # crunches the dispatched chunks (one update per touched pair)
-            with span("verify_batch.state_writeback"):
-                bulk_ctx["writeback"]()
-                wb_done = True
+        def _writeback_overlapped():
+            # final balances/nonces back to the state while the final
+            # combine rides the device + tunnel round trip (one update per
+            # touched pair; ~10 ms at 1000 txs, off the critical path)
+            nonlocal wb_done
+            if bulk_ctx is not None and not wb_done:
+                with span("verify_batch.state_writeback"):
+                    bulk_ctx["writeback"]()
+                    wb_done = True
 
         metrics.incr("verify_batch.sigma_msm_points", n_sigma_total + 2)
         metrics.incr("verify_batch.range_msm_points", n_range_total + 2 * max_nm + 2)
@@ -1410,6 +1419,7 @@ def _fused_native(accel, txs, state, metrics, span):
                 sigma_ok, range_ok, sigs_ok = accel.fused_chunks_finish(
                     chunk_states, shared_sigma, shared_range, None,
                     sig_hash_fn=sig_hash_fn,
+                    pre_pull_fn=_writeback_overlapped,
                 )
             except Exception as e:
                 pump_err = (
