@@ -128,6 +128,53 @@ def main():
         "note": "18x15-bit relaxed-limb _mul_t = 324 u32 muls + carries",
     }))
 
+    # ---- 2b. PRODUCTION field tier: 20x13-bit no-split _mul13 ------------
+    from xelis_he_tpu.ops.pallas_msm import NL13, _mul13
+
+    def lane_call13(kernel):
+        return pl.pallas_call(
+            kernel,
+            grid=(REPL, GRID),
+            in_specs=[
+                pl.BlockSpec((NL13, TILE), lambda r, i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NL13, TILE), lambda r, i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (NL13, TILE), lambda r, i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((NL13, GRID * TILE), jnp.uint32),
+        )
+
+    def make_fm13(reps):
+        def kernel(x_ref, y_ref, out_ref):
+            y = y_ref[:]
+            xs = tuple(x_ref[:] + jnp.uint32(k) for k in range(4))
+
+            def body(_, xs):
+                return tuple(_mul13(v, y, jnp) for v in xs)
+
+            xs = jax.lax.fori_loop(0, reps, body, xs)
+            out_ref[:] = xs[0] ^ xs[1] ^ xs[2] ^ xs[3]
+
+        call = lane_call13(kernel)
+        return lambda a, b: call(a, b)
+
+    x13 = jnp.asarray(
+        np.random.randint(0, 1 << 13, (NL13, GRID * TILE), dtype=np.uint32)
+    )
+    y13 = jnp.asarray(
+        np.random.randint(1, 1 << 13, (NL13, GRID * TILE), dtype=np.uint32)
+    )
+    j13 = jax.jit(make_fm13(8192))
+    t13 = pull_time(lambda: j13(x13, y13))
+    fm13 = REPL * 8192 * 4 * GRID * TILE / t13
+    print(json.dumps({
+        "metric": "field_muls_per_sec_chip_fe13", "value": round(fm13 / 1e6, 1),
+        "unit": "Mmul/s",
+        "vs_fe15": round(fm13 / field_muls, 2),
+        "note": "20x13-bit no-split _mul13 (production tier since r5)",
+    }))
+
     # ---- 3. windowed MSM kernel vs its own field-mul prediction ---------
     from xelis_he_tpu.ops.curve import jax_curve
     from xelis_he_tpu.ops.pallas_msm import (
@@ -157,6 +204,33 @@ def main():
         "pct_of_u32_bound": round(
             100.0 * pts_per_s * mul_eq * 324 / raw_muls, 1
         ),
+        "note": "per-lane kernel; production verify uses the quad kernel",
+    }))
+
+    # ---- 3b. PRODUCTION MSM engine: quad-packed kernel (fe13 + niels) ----
+    from xelis_he_tpu.ops.pallas_msm import (
+        K_PACK, msm_windowed_lanes_pallas_k4,
+    )
+
+    S = 16384
+    pts4 = [mul_base(i + 1) for i in range(256)] * (K_PACK * S // 256)
+    scs4 = [(0x123457 * (i + 1)) % (2 ** 253 - 1) for i in range(K_PACK * S)]
+    b4 = curve.from_points(pts4)
+    batch4 = tuple(
+        jnp.asarray(np.asarray(c).reshape(K_PACK, S, NLIMBS)) for c in b4
+    )
+    dig = np.asarray(recode_signed4(scs4))  # (64, n)
+    digits4 = jnp.asarray(
+        np.stack([dig[:, k * S : (k + 1) * S] for k in range(K_PACK)], axis=0)
+    )
+    j4 = jax.jit(lambda b, d: msm_windowed_lanes_pallas_k4(b, d)[0])
+    t4 = pull_time(lambda: j4(batch4, digits4))
+    quad_pts = K_PACK * S / t4
+    print(json.dumps({
+        "metric": "msm_quad_pts_per_sec", "value": round(quad_pts / 1e6, 3),
+        "unit": "Mpts/s", "n": K_PACK * S,
+        "note": "quad-packed windowed kernel, fe13 + niels tables — the "
+                "engine verify_batch dispatches",
     }))
 
 

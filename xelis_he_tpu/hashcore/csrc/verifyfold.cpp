@@ -297,21 +297,21 @@ int xhe_bp_fold(Strobe *strobe, const uint8_t *pend, size_t pend_len,
     std::memcpy(yi_m, rhom, 32);
     u64 yinv_m[4];
     mont_mul(y_inv, R2m, yinv_m);
-    // zz*z^j walked per party j, in Montgomery form
-    u64 czz_m[4];
-    mont_mul(zz, R2m, czz_m);  // j=0: zz (Montgomery)
+    // zz*z^j walked per party j, in NORMAL form (dbl/sub are domain-
+    // agnostic; keeping cur normal drops the per-element domain-exit mul
+    // — 3 mont_muls per generator lane instead of 4)
+    u64 czz_n[4];
+    std::memcpy(czz_n, zz, 32);
     u64 zm[4];
     mont_mul(z, R2m, zm);
     for (size_t j = 0; j < m; ++j) {
-      u64 cur[4];  // zz*z^j*2^k in Montgomery form
-      std::memcpy(cur, czz_m, 32);
+      u64 cur[4];  // zz*z^j*2^k, normal form
+      std::memcpy(cur, czz_n, 32);
       for (size_t kbit = 0; kbit < n_bits; ++kbit) {
         size_t i = j * n_bits + kbit;
         u64 t1[4], t2[4], hi[4], acc[4];
         mont_mul(s + 4 * (nm - 1 - i), bm, t1);  // b*s_inv[i]
-        u64 curn[4];
-        mont_mul(cur, one, curn);  // leave Montgomery domain
-        sub_mod(curn, t1, t2);     // zz*z^j*2^k - b*s_inv
+        sub_mod(cur, t1, t2);      // zz*z^j*2^k - b*s_inv
         mont_mul(t2, yi_m, hi);    // * rho*y^-i   (Montgomery scale)
         add_mod(hi, rho_z, t2);    // + rho*z
         load(h_acc + 32 * i, acc);
@@ -323,8 +323,8 @@ int xhe_bp_fold(Strobe *strobe, const uint8_t *pend, size_t pend_len,
         std::memcpy(yi_m, t3, 32);
       }
       u64 t4[4];
-      mont_mul(czz_m, zm, t4);  // walk zz*z^j
-      std::memcpy(czz_m, t4, 32);
+      mont_mul(czz_n, zm, t4);  // walk zz*z^j (normal x mont -> normal)
+      std::memcpy(czz_n, t4, 32);
     }
   }
   delete[] s;

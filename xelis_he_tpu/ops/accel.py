@@ -270,11 +270,11 @@ class Accelerator:
         into TILE-aligned shards across the mesh.  Quad packing needs lane
         groups of 4*TILE (4 lanes per slot, TILE-aligned slot groups for
         the tile-sum reduction) and QTILE-aligned signature slot counts."""
-        from .pallas_msm import QTILE, TILE
+        from .pallas_msm import K_PACK, QTILE, TILE
 
         d = self.mesh.devices.size if self.mesh is not None else 1
         if self.use_quad:
-            return d * 4 * TILE, d * QTILE
+            return d * K_PACK * TILE, d * QTILE
         return d * TILE, d * TILE // 2
 
     def _bits_for(self, scalars):
@@ -297,15 +297,17 @@ class Accelerator:
 
         def _msm_daa(points, bits):
             xp = curve.xp
-            if use_quad and points[0].shape[0] % (4 * 512) == 0:
+            from .pallas_msm import K_PACK as KP
+
+            if use_quad and points[0].shape[0] % (KP * 512) == 0:
                 from .pallas_msm import tile_sums_pallas
 
                 lanes_k4 = self._lanes_fn_k4()
                 p4 = tuple(
-                    xp.stack([c[k::4] for k in range(4)], axis=0)
+                    xp.stack([c[k::KP] for k in range(KP)], axis=0)
                     for c in points
                 )
-                d4 = xp.stack([bits[:, k::4] for k in range(4)], axis=0)
+                d4 = xp.stack([bits[:, k::KP] for k in range(KP)], axis=0)
                 acc = tile_sums_pallas(lanes_k4(p4, d4))
                 return _tree_reduce(curve, acc, acc[0].shape[0], True)
             acc = lanes(points, bits)
@@ -983,12 +985,14 @@ class Accelerator:
                 # sigma/range groups sums lanes 4s..4s+3; each signature's
                 # (s*H, -e*P) pair packs into ONE slot whose output is its
                 # R point directly (subs 2/3 carry zero digits)
+                from .pallas_msm import K_PACK as KP
+
                 gr = ns + nr
                 p4 = tuple(
-                    xp.stack([c[k:gr:4] for k in range(4)], axis=0)
+                    xp.stack([c[k:gr:KP] for k in range(KP)], axis=0)
                     for c in points
                 )
-                d4 = xp.stack([bits[:, k:gr:4] for k in range(4)], axis=0)
+                d4 = xp.stack([bits[:, k:gr:KP] for k in range(KP)], axis=0)
                 if nk:
                     zero_d = xp.full((64, nk), 8, dtype=bits.dtype)
                     p4 = tuple(
@@ -999,9 +1003,8 @@ class Accelerator:
                                     [
                                         c[gr : gr + nk],
                                         c[gr + nk : gr + 2 * nk],
-                                        c[gr : gr + nk],
-                                        c[gr : gr + nk],
-                                    ],
+                                    ]
+                                    + [c[gr : gr + nk]] * (KP - 2),
                                     axis=0,
                                 ),
                             ],
@@ -1016,16 +1019,15 @@ class Accelerator:
                                 [
                                     bits[:, gr : gr + nk],
                                     bits[:, gr + nk : gr + 2 * nk],
-                                    zero_d,
-                                    zero_d,
-                                ],
+                                ]
+                                + [zero_d] * (KP - 2),
                                 axis=0,
                             ),
                         ],
                         axis=2,
                     )
                 acc = lanes_fn(p4, d4)  # (S1+S2+nk slots, 18) x4
-                s1, s2 = ns // 4, nr // 4
+                s1, s2 = ns // KP, nr // KP
                 sums = tile_sums_pallas(tuple(c[: s1 + s2] for c in acc))
                 sigma = _tree_reduce_group(curve, sums, 0, s1 // TILE)
                 rng = _tree_reduce_group(curve, sums, s1 // TILE, s2 // TILE)
@@ -1303,14 +1305,16 @@ class Accelerator:
             if use_quad:
                 from .pallas_msm import TILE, tile_sums_pallas
 
+                from .pallas_msm import K_PACK as KP
+
                 gr = ns_s + nr_s
                 p4 = tuple(
-                    xp.stack([c[k:gr:4] for k in range(4)], axis=0)
+                    xp.stack([c[k:gr:KP] for k in range(KP)], axis=0)
                     for c in points
                 )
-                d4 = xp.stack([bits[:, k:gr:4] for k in range(4)], axis=0)
+                d4 = xp.stack([bits[:, k:gr:KP] for k in range(KP)], axis=0)
                 acc = lanes_fn(p4, d4)
-                s1, s2 = ns_s // 4, nr_s // 4
+                s1, s2 = ns_s // KP, nr_s // KP
                 sums = tile_sums_pallas(acc)
                 sigma_sh = _tree_reduce_group(curve, sums, 0, s1 // TILE)
                 rng_sh = _tree_reduce_group(curve, sums, s1 // TILE, s2 // TILE)

@@ -1356,9 +1356,9 @@ def _identity_niels13_cols(T, jnp):
 # verification mega-MSMs reduce to anyway, and a Schnorr lane pair
 # (s*H, -e*P) packed into one slot yields its R point directly.
 
-K_PACK = 4
-QTILE = 256  # narrower tile: 4 tables (8 entries x 4 coords x 18 rows)
-             # plus live point temporaries must stay inside VMEM
+K_PACK = int(__import__("os").environ.get("XELIS_K_PACK", "8"))
+QTILE = 256  # narrower tile: K_PACK tables (8 entries x 4 coords x 18/20
+             # rows) plus live point temporaries must stay inside VMEM
 
 
 def _windowed_kernel_k4(consts_ref, digits_ref, pts_ref, out_ref):
