@@ -258,9 +258,10 @@ class Accelerator:
 
     @property
     def use_quad(self) -> bool:
-        """Quad-packed lanes kernel (4 scalar-muls share one accumulator's
-        doubling chain — measured 369 vs 233 kpts/s): on by default on the
-        Pallas path, XELIS_QUAD_LANES=0 reverts to single-lane."""
+        """Packed lanes kernel (K_PACK=8 scalar-muls share one
+        accumulator's doubling chain — ~880 vs ~250 kpts/s single-lane,
+        round 5 with fe13 + niels tables): on by default on the Pallas
+        path, XELIS_QUAD_LANES=0 reverts to single-lane."""
         if not self.use_pallas:
             return False
         return os.environ.get("XELIS_QUAD_LANES", "1") != "0"
