@@ -243,91 +243,109 @@ int xhe_bp_fold(Strobe *strobe, const uint8_t *pend, size_t pend_len,
     }
   }
 
-  // s vector (normal form), then g/h accumulation
-  u64 *s = new u64[nm * 4];
-  {
-    u64 s0[4];
-    std::memcpy(s0, one, 32);
-    for (size_t r = 0; r < lg_n; ++r) {
-      u64 t[4];
-      mul_mod(s0, invs[r + 1], t);
-      std::memcpy(s0, t, 32);
-    }
-    std::memcpy(s, s0, 32);
-    u64 usqm[32][4];
-    for (size_t r = 0; r < lg_n; ++r) {
-      u64 usq[4];
-      mul_mod(u[r], u[r], usq);
-      mont_mul(usq, R2m, usqm[r]);
-    }
-    for (size_t i = 1; i < nm; ++i) {
-      size_t hb = 63 - __builtin_clzll((unsigned long long)i);
-      mont_mul(s + 4 * (i - ((size_t)1 << hb)), usqm[lg_n - 1 - hb], s + 4 * i);
-    }
-  }
-
-  // g_acc[i] += rho * (-z - a*s[i]);  scale = -rho*a (Montgomery), off = -rho*z
+  // g/h generator-lane accumulation via THREE product butterflies.
+  //
+  // Every per-lane term is a product of per-BIT factors of the lane
+  // index i (bit k of i selects one constant factor), so each vector
+  // fills with exactly ONE Montgomery mul per element:
+  //   gs[i] = -rho*a*s[i]                      (factors usq[lg-1-k])
+  //   hc[i] = rho*zz * y^-i * z^(i/n) * 2^(i%n)
+  //           (factors: k<log2(n): 2^(2^k)*y_inv^(2^k);
+  //                     k>=log2(n): z^(2^(k-log2 n))*y_inv^(2^k))
+  //   hs[i] = rho*b * y^-i * s_inv[i]          (s_inv[i] = s[nm-1-i] =
+  //           1/s[i] up to the all-u product; factors
+  //           u_inv_sq[lg-1-k]*y_inv^(2^k))
+  // then g_acc[i] += gs[i] - rho*z and
+  //      h_acc[i] += rho*z + hc[i] - hs[i]  (verify.rs / dalek h_i eq).
+  // This replaces the round-4 per-element scale/walk loops (~5 muls per
+  // lane incl. the s build) with 3 muls per lane.
   u64 a_sc[4], b_sc[4];
   load(ab, a_sc);
   load(ab + 32, b_sc);
   u64 zero[4] = {0, 0, 0, 0};
-  u64 neg_a[4], neg_z[4], scale_m[4], off[4];
+  u64 neg_a[4], neg_z[4], off[4], rho_z[4];
   sub_mod(zero, a_sc, neg_a);
   sub_mod(zero, z, neg_z);
-  u64 t0[4];
-  mul_mod(rho, neg_a, t0);
-  mont_mul(t0, R2m, scale_m);  // (-rho*a) in Montgomery form
-  mul_mod(rho, neg_z, off);    // -rho*z
-  for (size_t i = 0; i < nm; ++i) {
-    u64 gi[4], acc[4], t[4];
-    mont_mul(s + 4 * i, scale_m, gi);  // -rho*a*s[i]
-    add_mod(gi, off, t);
-    load(g_acc + 32 * i, acc);
-    add_mod(acc, t, gi);
-    store(g_acc + 32 * i, gi);
+  mul_mod(rho, neg_z, off);  // -rho*z
+  mul_mod(rho, z, rho_z);
+
+  size_t lgn_bits = 0;
+  while (((size_t)1 << lgn_bits) < n_bits) ++lgn_bits;
+
+  // per-bit y_inv^(2^k), 2^(2^k), z^(2^k) chains (normal form)
+  u64 ypow[32][4], twopow[32][4], zpow[32][4];
+  std::memcpy(ypow[0], y_inv, 32);
+  twopow[0][0] = 2; twopow[0][1] = twopow[0][2] = twopow[0][3] = 0;
+  std::memcpy(zpow[0], z_loc, 32);
+  for (size_t k = 1; k < lg_n; ++k) {
+    mul_mod(ypow[k - 1], ypow[k - 1], ypow[k]);
+    mul_mod(twopow[k - 1], twopow[k - 1], twopow[k]);
+    mul_mod(zpow[k - 1], zpow[k - 1], zpow[k]);
   }
 
-  // h_acc[i] += rho * (z + y^-i * (zz*z^(i/n)*2^(i%n) - b*s_inv[i]))
-  {
-    u64 rho_z[4];
-    mul_mod(rho, z, rho_z);
-    u64 bm[4];
-    mont_mul(b_sc, R2m, bm);
-    u64 yi_m[4];  // rho * y^-i in Montgomery form, walked multiplicatively
-    std::memcpy(yi_m, rhom, 32);
-    u64 yinv_m[4];
-    mont_mul(y_inv, R2m, yinv_m);
-    // zz*z^j walked per party j, in NORMAL form (dbl/sub are domain-
-    // agnostic; keeping cur normal drops the per-element domain-exit mul
-    // — 3 mont_muls per generator lane instead of 4)
-    u64 czz_n[4];
-    std::memcpy(czz_n, zz, 32);
-    u64 zm[4];
-    mont_mul(z, R2m, zm);
-    for (size_t j = 0; j < m; ++j) {
-      u64 cur[4];  // zz*z^j*2^k, normal form
-      std::memcpy(cur, czz_n, 32);
-      for (size_t kbit = 0; kbit < n_bits; ++kbit) {
-        size_t i = j * n_bits + kbit;
-        u64 t1[4], t2[4], hi[4], acc[4];
-        mont_mul(s + 4 * (nm - 1 - i), bm, t1);  // b*s_inv[i]
-        sub_mod(cur, t1, t2);      // zz*z^j*2^k - b*s_inv
-        mont_mul(t2, yi_m, hi);    // * rho*y^-i   (Montgomery scale)
-        add_mod(hi, rho_z, t2);    // + rho*z
-        load(h_acc + 32 * i, acc);
-        add_mod(acc, t2, hi);
-        store(h_acc + 32 * i, hi);
-        dbl_mod(cur);
-        u64 t3[4];
-        mont_mul(yi_m, yinv_m, t3);  // walk rho*y^-i
-        std::memcpy(yi_m, t3, 32);
-      }
-      u64 t4[4];
-      mont_mul(czz_n, zm, t4);  // walk zz*z^j (normal x mont -> normal)
-      std::memcpy(czz_n, t4, 32);
+  // butterfly factors (Montgomery form)
+  u64 fg[32][4], fhc[32][4], fhs[32][4];
+  for (size_t k = 0; k < lg_n; ++k) {
+    u64 usq[4], uisq[4], t[4];
+    const u64 *ur = u[lg_n - 1 - k];
+    mul_mod(ur, ur, usq);
+    mont_mul(usq, R2m, fg[k]);
+    mul_mod(invs[lg_n - k], invs[lg_n - k], uisq);  // u_inv_sq[lg-1-k]
+    mul_mod(uisq, ypow[k], t);
+    mont_mul(t, R2m, fhs[k]);
+    if (k < lgn_bits) {
+      mul_mod(twopow[k], ypow[k], t);
+    } else {
+      mul_mod(zpow[k - lgn_bits], ypow[k], t);
+    }
+    mont_mul(t, R2m, fhc[k]);
+  }
+
+  // seeds: s0 = prod u_inv, s_hi = s[nm-1] = prod u
+  u64 s0[4], s_hi[4];
+  std::memcpy(s0, one, 32);
+  std::memcpy(s_hi, one, 32);
+  for (size_t r = 0; r < lg_n; ++r) {
+    u64 t[4];
+    mul_mod(s0, invs[r + 1], t);
+    std::memcpy(s0, t, 32);
+    mul_mod(s_hi, u[r], t);
+    std::memcpy(s_hi, t, 32);
+  }
+  u64 seed_g[4], seed_hc[4], seed_hs[4], t0[4];
+  mul_mod(rho, neg_a, t0);
+  mul_mod(t0, s0, seed_g);   // -rho*a*s[0]
+  mul_mod(rho, zz, seed_hc);  // rho*zz
+  mul_mod(rho, b_sc, t0);
+  mul_mod(t0, s_hi, seed_hs);  // rho*b*s_inv[0]
+
+  u64 *gs = new u64[nm * 4 * 3];
+  u64 *hc = gs + nm * 4;
+  u64 *hs = gs + nm * 8;
+  std::memcpy(gs, seed_g, 32);
+  std::memcpy(hc, seed_hc, 32);
+  std::memcpy(hs, seed_hs, 32);
+  for (size_t hb = 0; hb < lg_n; ++hb) {
+    size_t half = (size_t)1 << hb;
+    for (size_t i = 0; i < half; ++i) {
+      mont_mul(gs + 4 * i, fg[hb], gs + 4 * (half + i));
+      mont_mul(hc + 4 * i, fhc[hb], hc + 4 * (half + i));
+      mont_mul(hs + 4 * i, fhs[hb], hs + 4 * (half + i));
     }
   }
-  delete[] s;
+  for (size_t i = 0; i < nm; ++i) {
+    u64 t1[4], t2[4], acc[4];
+    add_mod(gs + 4 * i, off, t1);
+    load(g_acc + 32 * i, acc);
+    add_mod(acc, t1, t2);
+    store(g_acc + 32 * i, t2);
+    sub_mod(hc + 4 * i, hs + 4 * i, t1);
+    add_mod(t1, rho_z, t2);
+    load(h_acc + 32 * i, acc);
+    add_mod(acc, t2, t1);
+    store(h_acc + 32 * i, t1);
+  }
+  delete[] gs;
 
   // value scalars: rho * c * zz * z^j
   {
