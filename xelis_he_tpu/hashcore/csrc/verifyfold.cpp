@@ -116,6 +116,236 @@ void sum_of_powers(const u64 x[4], uint64_t n, u64 out[4]) {
   mul_mod(num, inv, out);
 }
 
+// ---------------------------------------------------------------------------
+// AVX-512 IFMA 8-wide Montgomery butterflies (radix-2^52).
+//
+// The generator-lane butterflies multiply a contiguous RANGE by one
+// constant per level — ideal for vpmadd52: eight lanes run one CIOS
+// Montgomery multiply (R = 2^260, 5x52-bit limbs) per instruction
+// bundle.  Values stay < 2L throughout (CIOS without the final
+// subtract); limbs re-normalized to < 2^52 after each mul; the output
+// conversion does the single conditional subtract.  Scalar fallback on
+// non-IFMA hosts or XELIS_IFMA=0.
+// ---------------------------------------------------------------------------
+
+#if defined(__AVX512IFMA__) && defined(__AVX512F__)
+#include <immintrin.h>
+#define XHE_HAVE_IFMA 1
+#endif
+
+constexpr u64 M52 = (((u64)1) << 52) - 1;
+
+inline void to52(const u64 a[4], u64 out[5]) {
+  out[0] = a[0] & M52;
+  out[1] = ((a[0] >> 52) | (a[1] << 12)) & M52;
+  out[2] = ((a[1] >> 40) | (a[2] << 24)) & M52;
+  out[3] = ((a[2] >> 28) | (a[3] << 36)) & M52;
+  out[4] = a[3] >> 16;
+}
+
+inline void from52(const u64 in[5], u64 out[4]) {
+  out[0] = in[0] | (in[1] << 52);
+  out[1] = (in[1] >> 12) | (in[2] << 40);
+  out[2] = (in[2] >> 24) | (in[3] << 28);
+  out[3] = (in[3] >> 36) | (in[4] << 16);
+  if (geq_L(out)) sub_L(out);  // value < 2L on entry
+}
+
+// L in 5x52 limbs and -L^{-1} mod 2^52 (= LPRIME mod 2^52)
+inline const u64 *L52_limbs() {
+  static u64 l52[5];
+  static bool init = [] {
+    to52(Lm, l52);
+    return true;
+  }();
+  (void)init;
+  return l52;
+}
+
+// 2^260 mod L (normal form): lifts a mont64 constant to the R52 domain
+// via one mont_mul (f*2^256 x 2^260 x 2^-256 = f*2^260)
+inline const u64 *two260() {
+  static u64 v[4];
+  static bool init = [] {
+    v[0] = 1; v[1] = v[2] = v[3] = 0;
+    for (int k = 0; k < 260; ++k) dbl_mod(v);
+    return true;
+  }();
+  (void)init;
+  return v;
+}
+
+// scalar radix-52 CIOS (tails with half < 8); same algebra as the
+// vector path so values stay interchangeable
+inline void mont52_one(const u64 a[5], const u64 f[5], u64 dst[5]) {
+  const u64 *l52 = L52_limbs();
+  const u64 linv = LPRIME & M52;
+  u64 t[6] = {0, 0, 0, 0, 0, 0};
+  for (int j = 0; j < 5; ++j) {
+    for (int k = 0; k < 5; ++k) {
+      u128 p = (u128)a[k] * f[j];
+      t[k] += (u64)p & M52;
+      t[k + 1] += (u64)(p >> 52);
+    }
+    u64 m = (t[0] * linv) & M52;
+    for (int k = 0; k < 5; ++k) {
+      u128 p = (u128)m * l52[k];
+      t[k] += (u64)p & M52;
+      t[k + 1] += (u64)(p >> 52);
+    }
+    u64 c = t[0] >> 52;
+    for (int k = 0; k < 5; ++k) t[k] = t[k + 1];
+    t[0] += c;
+    t[5] = 0;
+  }
+  for (int k = 0; k < 4; ++k) {
+    t[k + 1] += t[k] >> 52;
+    t[k] &= M52;
+  }
+  for (int k = 0; k < 5; ++k) dst[k] = t[k];
+}
+
+#ifdef XHE_HAVE_IFMA
+inline void mont52_vec(const u64 *src[5], size_t i, const u64 f[5],
+                       u64 *dst[5], size_t o) {
+  const u64 *l52 = L52_limbs();
+  const __m512i z = _mm512_setzero_si512();
+  const __m512i linv =
+      _mm512_set1_epi64((long long)(LPRIME & M52));
+  __m512i s0 = _mm512_loadu_si512(src[0] + i);
+  __m512i s1 = _mm512_loadu_si512(src[1] + i);
+  __m512i s2 = _mm512_loadu_si512(src[2] + i);
+  __m512i s3 = _mm512_loadu_si512(src[3] + i);
+  __m512i s4 = _mm512_loadu_si512(src[4] + i);
+  __m512i L0 = _mm512_set1_epi64((long long)l52[0]);
+  __m512i L1 = _mm512_set1_epi64((long long)l52[1]);
+  __m512i L2 = _mm512_set1_epi64((long long)l52[2]);
+  __m512i L3 = _mm512_set1_epi64((long long)l52[3]);
+  __m512i L4 = _mm512_set1_epi64((long long)l52[4]);
+  __m512i t0 = z, t1 = z, t2 = z, t3 = z, t4 = z, t5 = z;
+  for (int j = 0; j < 5; ++j) {
+    __m512i fj = _mm512_set1_epi64((long long)f[j]);
+    t0 = _mm512_madd52lo_epu64(t0, s0, fj);
+    t1 = _mm512_madd52lo_epu64(t1, s1, fj);
+    t2 = _mm512_madd52lo_epu64(t2, s2, fj);
+    t3 = _mm512_madd52lo_epu64(t3, s3, fj);
+    t4 = _mm512_madd52lo_epu64(t4, s4, fj);
+    t1 = _mm512_madd52hi_epu64(t1, s0, fj);
+    t2 = _mm512_madd52hi_epu64(t2, s1, fj);
+    t3 = _mm512_madd52hi_epu64(t3, s2, fj);
+    t4 = _mm512_madd52hi_epu64(t4, s3, fj);
+    t5 = _mm512_madd52hi_epu64(t5, s4, fj);
+    __m512i m = _mm512_madd52lo_epu64(z, t0, linv);
+    t0 = _mm512_madd52lo_epu64(t0, m, L0);
+    t1 = _mm512_madd52lo_epu64(t1, m, L1);
+    t2 = _mm512_madd52lo_epu64(t2, m, L2);
+    t3 = _mm512_madd52lo_epu64(t3, m, L3);
+    t4 = _mm512_madd52lo_epu64(t4, m, L4);
+    t1 = _mm512_madd52hi_epu64(t1, m, L0);
+    t2 = _mm512_madd52hi_epu64(t2, m, L1);
+    t3 = _mm512_madd52hi_epu64(t3, m, L2);
+    t4 = _mm512_madd52hi_epu64(t4, m, L3);
+    t5 = _mm512_madd52hi_epu64(t5, m, L4);
+    __m512i c = _mm512_srli_epi64(t0, 52);
+    t0 = _mm512_add_epi64(t1, c);
+    t1 = t2;
+    t2 = t3;
+    t3 = t4;
+    t4 = t5;
+    t5 = z;
+  }
+  const __m512i mask = _mm512_set1_epi64((long long)M52);
+  __m512i c;
+  c = _mm512_srli_epi64(t0, 52);
+  t0 = _mm512_and_epi64(t0, mask);
+  t1 = _mm512_add_epi64(t1, c);
+  c = _mm512_srli_epi64(t1, 52);
+  t1 = _mm512_and_epi64(t1, mask);
+  t2 = _mm512_add_epi64(t2, c);
+  c = _mm512_srli_epi64(t2, 52);
+  t2 = _mm512_and_epi64(t2, mask);
+  t3 = _mm512_add_epi64(t3, c);
+  c = _mm512_srli_epi64(t3, 52);
+  t3 = _mm512_and_epi64(t3, mask);
+  t4 = _mm512_add_epi64(t4, c);
+  _mm512_storeu_si512(dst[0] + o, t0);
+  _mm512_storeu_si512(dst[1] + o, t1);
+  _mm512_storeu_si512(dst[2] + o, t2);
+  _mm512_storeu_si512(dst[3] + o, t3);
+  _mm512_storeu_si512(dst[4] + o, t4);
+}
+#endif  // XHE_HAVE_IFMA
+
+// Fill the three generator-lane vectors (4x64 output layout, < L) with
+// the IFMA engine.  Returns false when unavailable (caller runs the
+// scalar 4x64 butterflies instead).
+static bool ifma_butterfly3(u64 *gs, u64 *hc, u64 *hs, const u64 seed_g[4],
+                            const u64 seed_hc[4], const u64 seed_hs[4],
+                            u64 fg[][4], u64 fhc[][4], u64 fhs[][4],
+                            size_t lg, size_t nm) {
+#ifndef XHE_HAVE_IFMA
+  (void)gs; (void)hc; (void)hs; (void)seed_g; (void)seed_hc; (void)seed_hs;
+  (void)fg; (void)fhc; (void)fhs; (void)lg; (void)nm;
+  return false;
+#else
+  static const bool enabled = [] {
+    const char *e = getenv("XELIS_IFMA");
+    return !(e && e[0] == '0');
+  }();
+  if (!enabled || nm < 16) return false;
+
+  u64 *mem = new u64[15 * nm];
+  u64 *pl[3][5];
+  for (int v = 0; v < 3; ++v)
+    for (int k = 0; k < 5; ++k) pl[v][k] = mem + (5 * v + k) * nm;
+  const u64 *seeds[3] = {seed_g, seed_hc, seed_hs};
+  for (int v = 0; v < 3; ++v) {
+    u64 s5[5];
+    to52(seeds[v], s5);
+    for (int k = 0; k < 5; ++k) pl[v][k][0] = s5[k];
+  }
+  for (size_t hb = 0; hb < lg; ++hb) {
+    size_t half = (size_t)1 << hb;
+    u64 F[3][5];
+    u64 (*fac[3])[4] = {fg, fhc, fhs};
+    for (int v = 0; v < 3; ++v) {
+      u64 t[4];
+      mont_mul(fac[v][hb], two260(), t);  // f*2^260 (R52 domain)
+      to52(t, F[v]);
+    }
+    for (int v = 0; v < 3; ++v) {
+      if (half < 8) {
+        for (size_t i = 0; i < half; ++i) {
+          u64 a[5], d[5];
+          for (int k = 0; k < 5; ++k) a[k] = pl[v][k][i];
+          mont52_one(a, F[v], d);
+          for (int k = 0; k < 5; ++k) pl[v][k][half + i] = d[k];
+        }
+      } else {
+#ifdef XHE_HAVE_IFMA
+        const u64 *srcp[5] = {pl[v][0], pl[v][1], pl[v][2], pl[v][3],
+                              pl[v][4]};
+        u64 *dstp[5] = {pl[v][0], pl[v][1], pl[v][2], pl[v][3], pl[v][4]};
+        for (size_t i = 0; i < half; i += 8)
+          mont52_vec(srcp, i, F[v], dstp, half + i);
+#endif
+      }
+    }
+  }
+  u64 *outs[3] = {gs, hc, hs};
+  for (int v = 0; v < 3; ++v) {
+    for (size_t i = 0; i < nm; ++i) {
+      u64 a[5];
+      for (int k = 0; k < 5; ++k) a[k] = pl[v][k][i];
+      from52(a, outs[v] + 4 * i);
+    }
+  }
+  delete[] mem;
+  return true;
+#endif
+}
+
+
 }  // namespace
 
 extern "C" {
@@ -243,6 +473,7 @@ int xhe_bp_fold(Strobe *strobe, const uint8_t *pend, size_t pend_len,
     }
   }
 
+  // (ifma_butterfly3 + scalar fallback defined above xhe_bp_fold)
   // g/h generator-lane accumulation via THREE product butterflies.
   //
   // Every per-lane term is a product of per-BIT factors of the lane
@@ -322,15 +553,18 @@ int xhe_bp_fold(Strobe *strobe, const uint8_t *pend, size_t pend_len,
   u64 *gs = new u64[nm * 4 * 3];
   u64 *hc = gs + nm * 4;
   u64 *hs = gs + nm * 8;
-  std::memcpy(gs, seed_g, 32);
-  std::memcpy(hc, seed_hc, 32);
-  std::memcpy(hs, seed_hs, 32);
-  for (size_t hb = 0; hb < lg_n; ++hb) {
-    size_t half = (size_t)1 << hb;
-    for (size_t i = 0; i < half; ++i) {
-      mont_mul(gs + 4 * i, fg[hb], gs + 4 * (half + i));
-      mont_mul(hc + 4 * i, fhc[hb], hc + 4 * (half + i));
-      mont_mul(hs + 4 * i, fhs[hb], hs + 4 * (half + i));
+  if (!ifma_butterfly3(gs, hc, hs, seed_g, seed_hc, seed_hs,
+                       fg, fhc, fhs, lg_n, nm)) {
+    std::memcpy(gs, seed_g, 32);
+    std::memcpy(hc, seed_hc, 32);
+    std::memcpy(hs, seed_hs, 32);
+    for (size_t hb = 0; hb < lg_n; ++hb) {
+      size_t half = (size_t)1 << hb;
+      for (size_t i = 0; i < half; ++i) {
+        mont_mul(gs + 4 * i, fg[hb], gs + 4 * (half + i));
+        mont_mul(hc + 4 * i, fhc[hb], hc + 4 * (half + i));
+        mont_mul(hs + 4 * i, fhs[hb], hs + 4 * (half + i));
+      }
     }
   }
   for (size_t i = 0; i < nm; ++i) {
