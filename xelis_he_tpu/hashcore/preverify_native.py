@@ -18,6 +18,7 @@ _SRC = _DIR / "preverify.cpp"
 _DEPS = [
     _DIR / "verifyfold.cpp",
     _DIR / "hashcore.cpp",
+    _DIR / "keccak_unrolled.inc",
     _DIR / "scalarops.cpp",
     _DIR / "curve25519.cpp",
 ]

@@ -15,7 +15,7 @@ import tempfile
 
 _DIR = pathlib.Path(__file__).parent / "csrc"
 _SRC = _DIR / "verifyfold.cpp"
-_DEPS = [_DIR / "hashcore.cpp", _DIR / "scalarops.cpp"]
+_DEPS = [_DIR / "hashcore.cpp", _DIR / "keccak_unrolled.inc", _DIR / "scalarops.cpp"]
 _LIB = _DIR / "libxheverify.so"
 
 
