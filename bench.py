@@ -34,10 +34,11 @@ def log(*args):
 
 
 def main():
-    # default batch 1000: the reference's published 0.40 ms/tx is an
-    # amortized batched number; at 100 txs the fixed ~22 ms tunnel sync of
-    # this setup dominates, at 1000 the figure reflects the engine
-    n_txs = int(os.environ.get("XELIS_BENCH_TXS", "1000"))
+    # default batch 10000: the north-star config (BASELINE.md — "batch of
+    # 10k txs" vs the reference's amortized 0.40 ms/tx).  At 100 txs the
+    # fixed ~24 ms tunnel RTT of this setup dominates; at 10k the figure
+    # reflects the engine.  Setup builds ~10 ms/tx on the 2-core host.
+    n_txs = int(os.environ.get("XELIS_BENCH_TXS", "10000"))
     n_transfers = int(os.environ.get("XELIS_BENCH_TRANSFERS", "1"))
     iters = int(os.environ.get("XELIS_BENCH_ITERS", "7"))
     backend = os.environ.get("XELIS_BENCH_BACKEND", "jax")

@@ -43,7 +43,9 @@ def _chain(label: bytes, count: int):
 
 
 def _cache_dir() -> pathlib.Path:
-    root = os.environ.get("XELIS_HE_TPU_CACHE", os.path.expanduser("~/.cache/xelis_he_tpu"))
+    from ..utils.cachedir import cache_root
+
+    root = os.environ.get("XELIS_HE_TPU_CACHE", str(cache_root()))
     path = pathlib.Path(root)
     path.mkdir(parents=True, exist_ok=True)
     return path

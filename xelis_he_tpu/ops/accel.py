@@ -28,9 +28,10 @@ def _enable_jax_compile_cache():
     try:
         import jax
 
+        from ..utils.cachedir import cache_root
+
         cache_dir = os.environ.get(
-            "XELIS_HE_TPU_JAXCACHE",
-            os.path.expanduser("~/.cache/xelis_he_tpu/jaxcache"),
+            "XELIS_HE_TPU_JAXCACHE", str(cache_root() / "jaxcache")
         )
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
@@ -899,10 +900,10 @@ class Accelerator:
         import hashlib
         import pathlib
 
+        from ..utils.cachedir import cache_root
+
         root = pathlib.Path(
-            os.environ.get(
-                "XELIS_CACHE_DIR", os.path.expanduser("~/.cache/xelis_he_tpu")
-            )
+            os.environ.get("XELIS_CACHE_DIR", str(cache_root()))
         ) / "export"
         tag = hashlib.sha256(
             repr(
