@@ -143,6 +143,13 @@ def main():
             }
         )
     )
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # Skip interpreter/atexit teardown: the remote-device runtime's exit
+    # hooks can pthread_cancel a worker mid-unwind and abort the process
+    # (SIGABRT after the result is already printed).  The bench's contract
+    # is the JSON line above; exit cleanly the moment it is out.
+    os._exit(0)
 
 
 if __name__ == "__main__":
