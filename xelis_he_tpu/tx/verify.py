@@ -1110,9 +1110,15 @@ def _fused_native(accel, txs, state, metrics, span):
         # stays above RTT; around 1000 txs THREE chunks measure best
         # (0.150 vs 0.158 ms/tx at 2x512, round 5) — more fold/device
         # overlap without starving the dispatch pipeline.
+        # large blocks: ~8 uniform chunks measure best (10k sweep, r5:
+        # 512-tx chunks 1.33-1.99 s, 840 1.18, 1250 0.995, 2048 1.45 —
+        # fewer dispatches amortize the per-dispatch tunnel cost until
+        # the coarser pipeline starts losing host/device overlap)
         if bulk_ctx is not None:
             default_chunk = (
-                max(200, -(-n_txs // 3)) if n_txs <= 1536 else 512
+                max(200, -(-n_txs // 3))
+                if n_txs <= 1536
+                else max(512, -(-n_txs // 8))
             )
         else:
             default_chunk = 256
