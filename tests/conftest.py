@@ -19,7 +19,15 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # tests/test_tx.py::test_host_crossover exercises the crossover itself.
 os.environ.setdefault("XELIS_HOST_VERIFY_MAX", "0")
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# Tests run CPU-mesh programs; keep their XLA:CPU AOT cache entries in the
+# gitignored cpu/ subdir so the committed TPU cache stays host-portable
+# (CPU AOT entries bake in host CPU features).
+os.environ.setdefault(
+    "XELIS_HE_TPU_JAXCACHE", os.path.join(_REPO, ".cache", "jaxcache", "cpu")
+)
 
 
 def pytest_configure(config):

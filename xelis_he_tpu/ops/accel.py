@@ -30,9 +30,16 @@ def _enable_jax_compile_cache():
 
         from ..utils.cachedir import cache_root
 
-        cache_dir = os.environ.get(
-            "XELIS_HE_TPU_JAXCACHE", str(cache_root() / "jaxcache")
-        )
+        # per-backend subdir: TPU entries are portable across processes on
+        # the same runtime and ship with the repo; XLA:CPU AOT entries bake
+        # in host CPU features and are kept out of the committed cache
+        # (loading them on a different host logs feature-mismatch errors
+        # and risks SIGILL)
+        cache_dir = os.environ.get("XELIS_HE_TPU_JAXCACHE")
+        if cache_dir is None:
+            import jax
+
+            cache_dir = str(cache_root() / "jaxcache" / jax.default_backend())
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except Exception:  # pragma: no cover
